@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.SyntheticWeb
+import graft.plans.Model.CrawlConfig
+import graft.sources.SnapshotStore
+
+/** spark-submit entry point (SURVEY.md §3.1 / §7 M6):
+  *
+  *   spark-submit --class graft.operators.CrawlMain … \
+  *     --base /path/to/store --rounds 5 [--seeds 20] [--host-budget 4]
+  *     [--round-cap 500] [--no-bloom] [--cpus N]
+  *
+  * Runs (or resumes — the store's HEAD decides) the crawl until `rounds`
+  * rounds are committed, printing one metrics line per round. On a real
+  * cluster the same class runs unchanged: only `--master` and the store path
+  * (HDFS/S3 + Iceberg commit, SURVEY.md §1.1) differ.
+  */
+object CrawlMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap ++ (if (args.contains("--no-bloom")) Map("no-bloom" -> "true") else Map.empty)
+
+    val base = opts.getOrElse("base", sys.error("--base <dir> required"))
+    val rounds = opts.getOrElse("rounds", "3").toInt
+    val nSeeds = opts.getOrElse("seeds", "20").toInt
+    val cfg = CrawlConfig(
+      hostBudget = opts.getOrElse("host-budget", "4").toInt,
+      roundCap = opts.getOrElse("round-cap", "500").toInt,
+      useBloom = !opts.contains("no-bloom"))
+    val cpus = opts.getOrElse("cpus",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+
+    val spark = SparkSession.builder()
+      .master(sys.props.getOrElse("spark.master", s"local[$cpus]"))
+      .appName("graft-crawl")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val store = new SnapshotStore(spark, base)
+    val t0 = System.nanoTime()
+    val metrics = Crawler.run(spark, store, SyntheticWeb.seeds(nSeeds), rounds, cfg)
+    val secs = (System.nanoTime() - t0) / 1e9
+    metrics.foreach(m => println(CrawlRound.manifestJson(m, cfg)))
+    val fetchedDeduped = metrics.map(m => m.fetched + m.new_urls).sum
+    println(f"""{"rounds_run":${metrics.size},"urls_fetched_plus_deduped":$fetchedDeduped,"wall_sec":$secs%.2f,"throughput_per_sec":${fetchedDeduped / math.max(secs, 1e-9)}%.1f}""")
+    spark.stop()
+  }
+}

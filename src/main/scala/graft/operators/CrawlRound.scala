@@ -1,0 +1,309 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.core.{Hashes, LinkExtract, Robots, SyntheticWeb, TextExtract, UrlCanon}
+import graft.plans.Model._
+import graft.sources.SnapshotStore
+
+/** One crawl round as a typed Dataset pipeline (SURVEY.md §3.1; BASELINE.json
+  * north_star: frontier dequeue → politeness gate → fetch/parse → text
+  * extraction → link extraction/canonicalization → dedup → frontier re-enqueue).
+  *
+  * Scale design (the 1000-executor / 10^10-URL view, exercised at local[N]):
+  *  - the fat `html` bytes exist only inside the fetch/parse `mapPartitions` —
+  *    text+links are extracted executor-locally and html never shuffles;
+  *  - all wide operations key on hashes (xxh64 for ordering/bloom, murmur128
+  *    for exact identity), never raw URL strings;
+  *  - robots is a broadcast join (tiny per-host table);
+  *  - the URL-seen probe routes on a broadcast bloom filter: bloom-clear links
+  *    are *definitely* new (bloom has no false negatives) and skip the exact
+  *    anti-join shuffle entirely; only bloom-hits (≈ seen + fpp·new) shuffle.
+  *    The seen set stays exact — a false positive costs one wasted join probe,
+  *    never a dropped URL (SURVEY.md §4.2 exactness backstop);
+  *  - hot hosts (zipfian frontier) get a salted two-phase politeness top-k so a
+  *    single host cannot skew the window shuffle (SURVEY.md §4.3);
+  *  - the global round sequence is assigned with range-partition + per-partition
+  *    offsets — a total order across files without a single-reducer sort.
+  */
+object CrawlRound {
+
+  final case class RoundResult(round: Int, metrics: RoundMetrics)
+
+  private def childPriority(parent: Int): Int = math.max(parent - 1, 0)
+
+  /** Build a FrontierEntry from a canonical URL (seeds + new links). */
+  def entryFor(url: String, priority: Int, nextFetchTs: Long, round: Int): FrontierEntry = {
+    val (hi, lo) = Hashes.murmur128(url)
+    FrontierEntry(url, Hashes.xxh64(url), hi, lo, UrlCanon.hostOf(url),
+      priority, nextFetchTs, round, 0)
+  }
+
+  /** Initialize snapshot 0 from a seed list (SURVEY.md §2.1 S3). */
+  def initialize(spark: SparkSession, store: SnapshotStore, seedUrls: Seq[String],
+      cfg: CrawlConfig): Unit = {
+    import spark.implicits._
+    val t0 = roundTs(cfg, 0)
+    val seeds = seedUrls.flatMap(UrlCanon.canonical).distinct
+      .map(u => entryFor(u, cfg.seedPriority, t0, 0))
+    val pending = store.begin(0)
+    val fr = spark.createDataset(seeds)
+    orderedFrontierWrite(fr, pending.frontierPath)
+    fr.map(e => SeenUrl(e.url_hash_hi, e.url_hash_lo, e.url, 0))
+      .write.parquet(pending.seenDeltaPath)
+    spark.emptyDataset[FetchResult].write.parquet(pending.pagesPath)
+    spark.emptyDataset[LineageRow].write.parquet(pending.lineagePath)
+    val bf = BloomFilter.create(cfg.bloomExpectedItems, cfg.bloomFpp)
+    seeds.foreach(e => bf.putLong(e.url_hash))
+    pending.writeBloom(bf)
+    pending.commit(manifestJson(RoundMetrics(-1, 0, 0, 0, 0, 0, 0, 0, 0,
+      seeds.size.toLong, seeds.size.toLong, seeds.size.toLong), cfg))
+  }
+
+  /** Run round k: consume snapshot k, commit snapshot k+1. */
+  def run(spark: SparkSession, store: SnapshotStore, k: Int, cfg: CrawlConfig): RoundResult = {
+    import spark.implicits._
+    val rts = roundTs(cfg, k)
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    val frontier = store.loadFrontier(k)
+    // F4 due filter — plain column predicate, pushed into the parquet scan
+    val due = frontier.filter($"next_fetch_ts" <= rts).persist()
+    val notDue = frontier.filter($"next_fetch_ts" > rts)
+    val nDue = due.count()
+
+    // J2: robots broadcast join. Robots are "fetched" per distinct host this
+    // round (deterministic SyntheticWeb — the only network in this sandbox).
+    val robots = due.select($"host").distinct().as[String].map { h =>
+      val r = SyntheticWeb.robotsFor(h)
+      RobotsEntry(h, rts, r.crawlDelayMs, r.allow, r.disallow)
+    }
+    val robotsAllowed = udf { (allow: Seq[String], disallow: Seq[String], url: String) =>
+      Robots.Rules(0L, Option(allow).getOrElse(Seq.empty).toVector,
+        Option(disallow).getOrElse(Seq.empty).toVector).allowed(UrlCanon.pathOf(url))
+    }
+    val withRobots = due.join(broadcast(robots.toDF()), Seq("host"), "left")
+      .withColumn("crawl_delay_ms",
+        coalesce($"crawl_delay_ms", lit(cfg.crawlDelayDefaultMs)))
+    // F2 robots gate — denied URLs are dropped for good (they stay in the seen
+    // set, so they are never re-enqueued either). Pinned behavior.
+    val allowed = withRobots.filter(robotsAllowed($"allow", $"disallow", $"url")).persist()
+    val robotsDenied = nDue - allowed.count()
+
+    // --- politeness (W1/W2 + §4.3 two-phase salted top-k for hot hosts) ----
+    val ord: Seq[Column] =
+      Seq($"priority".desc, $"next_fetch_ts".asc, $"url_hash".asc)
+    val hotHosts: Map[String, Int] = allowed.groupBy($"host").count()
+      .filter($"count" > cfg.hotHostThreshold)
+      .select($"host").as[String].collect()
+      .map(h => h -> cfg.saltBuckets).toMap
+    val (phase1Kept, phase1Dropped) =
+      if (hotHosts.isEmpty) (allowed, allowed.limit(0))
+      else {
+        val hot = spark.sparkContext.broadcast(hotHosts)
+        val saltOf = udf { (host: String, h: Long) =>
+          hot.value.get(host).map(b => math.floorMod(h, b.toLong).toInt).getOrElse(0)
+        }
+        val salted = allowed.withColumn("salt", saltOf($"host", $"url_hash"))
+        val w1 = Window.partitionBy($"host", $"salt").orderBy(ord: _*)
+        val ranked = salted.withColumn("srank", row_number().over(w1)).persist()
+        // any row in a host's true top-budget is in its salt bucket's local
+        // top-budget, so phase 1 never drops a row phase 2 would keep
+        (ranked.filter($"srank" <= cfg.hostBudget).drop("salt", "srank"),
+          ranked.filter($"srank" > cfg.hostBudget).drop("salt", "srank"))
+      }
+    val w2 = Window.partitionBy($"host").orderBy(ord: _*)
+    val hostRanked = phase1Kept.withColumn("host_rank", row_number().over(w2)).persist()
+    val budgetKept = hostRanked.filter($"host_rank" <= cfg.hostBudget)
+    val budgetDropped = hostRanked.filter($"host_rank" > cfg.hostBudget)
+
+    // W2 schedule + O3 round cap + §8.3 global sequence over gated rows
+    val preTasks = budgetKept
+      .withColumn("fetch_ts", lit(rts) + ($"host_rank" - 1) * $"crawl_delay_ms")
+      .withColumn("seq", lit(-1L))
+      .select($"url", $"url_hash", $"url_hash_hi", $"url_hash_lo", $"host",
+        $"priority", $"next_fetch_ts", $"discovered_round", $"retries",
+        $"host_rank", $"seq", $"fetch_ts")
+      .as[FetchTask]
+    val sequenced = assignGlobalSeq(spark, preTasks, shufflePartitions)
+    val tasks = sequenced.filter($"seq" < cfg.roundCap)
+    val capDropped = sequenced.filter($"seq" >= cfg.roundCap)
+
+    // §8.5 re-enqueue: deferred = over-salt ∪ over-budget ∪ over-cap; bumped
+    // past this round's schedule window, priority decayed by 1 (floor 0)
+    val frontierCols = frontier.columns.map(col).toSeq
+    val deferred = phase1Dropped.select(frontierCols: _*)
+      .unionByName(budgetDropped.select(frontierCols: _*))
+      .unionByName(capDropped.toDF().select(frontierCols: _*))
+      .withColumn("next_fetch_ts", lit(rts + cfg.hostBudget * cfg.crawlDelayDefaultMs))
+      .withColumn("priority", greatest($"priority" - 1, lit(0)))
+      .withColumn("retries", $"retries" + 1)
+      .as[FrontierEntry].persist()
+
+    // --- fetch/parse (executor-local; html never leaves this stage) --------
+    val round = k
+    val fetched: Dataset[FetchResult] = tasks.mapPartitions { it =>
+      it.map { t =>
+        val f = SyntheticWeb.fetch(t.url)
+        val (text, links) =
+          if (f.status == 200) (TextExtract.extract(f.html), LinkExtract.extract(f.html, t.url))
+          else ("", Vector.empty[String])
+        FetchResult(t.url, t.url_hash, t.url_hash_hi, t.url_hash_lo, t.host,
+          t.priority, t.next_fetch_ts, t.seq, t.fetch_ts, f.status, text,
+          if (f.status == 200) Hashes.sha256Hex(text) else "", links, round)
+      }
+    }.persist()
+    val nFetched = fetched.count()
+    val nErrors = fetched.filter($"status" =!= 200).count()
+    val nLinks = fetched.select(sum(size($"links"))).as[Option[Long]].head().getOrElse(0L)
+
+    // --- link candidates: canonical (LinkExtract) + hash + in-batch merge ---
+    val cand = fetched.filter($"status" === 200)
+      .flatMap(r => r.links.map(l => (l, childPriority(r.priority))))
+      .map { case (u, p) =>
+        val (hi, lo) = Hashes.murmur128(u)
+        (u, Hashes.xxh64(u), hi, lo, UrlCanon.hostOf(u), p)
+      }
+      .toDF("url", "url_hash", "url_hash_hi", "url_hash_lo", "host", "priority")
+      // in-batch dedup on the exact 128-bit key; all non-key columns are
+      // functions of the url so min() just picks the (single) value
+      .groupBy($"url_hash_hi", $"url_hash_lo")
+      .agg(min($"url").as("url"), min($"url_hash").as("url_hash"),
+        min($"host").as("host"), max($"priority").as("priority"))
+      .persist()
+    val nCand = cand.count()
+
+    // --- dedup vs URL-seen: bloom route (A3) + exact anti-join (J1) --------
+    val seen = store.loadSeen(k)
+    val trulyNew =
+      (if (cfg.useBloom) {
+        val bf = store.loadBloom(k).getOrElse {
+          // cold path (bloom file lost): rebuild from the exact seen urls
+          val b = BloomFilter.create(cfg.bloomExpectedItems, cfg.bloomFpp)
+          seen.select($"url").as[String].toLocalIterator()
+            .forEachRemaining(u => b.putLong(Hashes.xxh64(u)))
+          b
+        }
+        val bfb = spark.sparkContext.broadcast(bf)
+        val mightContain = udf((h: Long) => bfb.value.mightContainLong(h))
+        val suspects = cand.filter(mightContain($"url_hash"))
+        val definitelyNew = cand.filter(!mightContain($"url_hash"))
+        suspects.join(seen.select($"url_hash_hi", $"url_hash_lo"),
+            Seq("url_hash_hi", "url_hash_lo"), "left_anti")
+          .unionByName(definitelyNew)
+      } else {
+        cand.join(seen.select($"url_hash_hi", $"url_hash_lo"),
+          Seq("url_hash_hi", "url_hash_lo"), "left_anti")
+      }).persist()
+    val nNew = trulyNew.count()
+
+    val newEntries = trulyNew.select(
+        $"url", $"url_hash", $"url_hash_hi", $"url_hash_lo", $"host", $"priority",
+        lit(rts).as("next_fetch_ts"), lit(k + 1).as("discovered_round"),
+        lit(0).as("retries"))
+      .as[FrontierEntry]
+
+    // U1: the three parts are disjoint by construction (new ⟂ seen ⊇ frontier;
+    // notDue ⟂ deferred by the due filter) — plain union, no merge shuffle.
+    val nextFrontier = notDue.unionByName(deferred).unionByName(newEntries)
+
+    // --- commit snapshot k+1 ------------------------------------------------
+    val pending = store.begin(k + 1)
+    orderedFrontierWrite(nextFrontier, pending.frontierPath)
+    trulyNew.select($"url_hash_hi", $"url_hash_lo", $"url",
+        lit(k + 1).as("first_seen_round")).as[SeenUrl]
+      .write.parquet(pending.seenDeltaPath)
+    fetched.write.parquet(pending.pagesPath)
+    lineageOf(spark, fetched, k).write.parquet(pending.lineagePath)
+
+    // A3 bloom lifecycle: merge this round's new hashes into the running filter
+    val prevBloom = store.loadBloom(k)
+      .getOrElse(BloomFilter.create(cfg.bloomExpectedItems, cfg.bloomFpp))
+    // same (expectedItems, fpp) as the persistent filter — mergeInPlace
+    // requires identical bit-array sizes
+    val deltaBloom = trulyNew.select($"url_hash")
+      .stat.bloomFilter("url_hash", cfg.bloomExpectedItems, cfg.bloomFpp)
+    prevBloom.mergeInPlace(deltaBloom)
+    pending.writeBloom(prevBloom)
+
+    val nFrontier = spark.read.parquet(pending.frontierPath).count()
+    val nSeen = seen.count() + nNew
+    val metrics = RoundMetrics(k, nDue, robotsDenied, nFetched,
+      deferred.count(), nFetched, nErrors, nLinks, nLinks - nCand, nNew,
+      nFrontier, nSeen)
+    pending.commit(manifestJson(metrics, cfg))
+
+    Seq(due.toDF(), allowed, hostRanked, sequenced.toDF(), deferred.toDF(),
+      fetched.toDF(), cand, trulyNew).foreach(_.unpersist(blocking = false))
+    RoundResult(k, metrics)
+  }
+
+  /** O1: materialize the frontier range-partitioned + sorted by the dequeue
+    * order — next round's scan reads it near-sorted with minimal shuffle. */
+  private def orderedFrontierWrite(fr: Dataset[FrontierEntry], path: String): Unit = {
+    val n = math.max(1, math.min(fr.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt, 64))
+    fr.repartitionByRange(n, col("priority").desc, col("next_fetch_ts"), col("url_hash"))
+      .sortWithinPartitions(col("priority").desc, col("next_fetch_ts"), col("url_hash"))
+      .write.parquet(path)
+  }
+
+  /** Global 0-based sequence in (priority DESC, next_fetch_ts, url_hash) order
+    * without a single-reducer sort: range-repartition, then add per-partition
+    * offsets (two narrow passes over the persisted sorted data). Sort keys are
+    * unique (url_hash distinct within a frontier), so the order — and hence the
+    * sequence — is independent of where the range boundaries fall. */
+  private def assignGlobalSeq(spark: SparkSession, ds: Dataset[FetchTask],
+      parts: Int): Dataset[FetchTask] = {
+    import spark.implicits._
+    val sorted = ds
+      .repartitionByRange(math.max(parts, 1), col("priority").desc,
+        col("next_fetch_ts"), col("url_hash"))
+      .sortWithinPartitions(col("priority").desc, col("next_fetch_ts"), col("url_hash"))
+      .persist()
+    val counts = sorted.mapPartitions { it =>
+      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().sortBy(_._1)
+    val starts = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+      .sliding(2).collect { case Array((_, st), (pid, _)) => pid -> st }.toMap
+    val bc = spark.sparkContext.broadcast(starts)
+    val out = sorted.mapPartitions { it =>
+      var s = bc.value.getOrElse(TaskContext.getPartitionId(), 0L)
+      it.map { t => val u = t.copy(seq = s); s += 1; u }
+    }.persist()
+    out.count() // materialize before releasing the sorted parent
+    sorted.unpersist(blocking = false)
+    out
+  }
+
+  /** S8: deterministic per-partition lineage for the fetch/parse stage.
+    * wall_ms is pinned to 0 so identical runs byte-compare (SURVEY.md §5.4);
+    * wall-clock timing is the bench harness's job. */
+  private def lineageOf(spark: SparkSession, fetched: Dataset[FetchResult],
+      k: Int): Dataset[LineageRow] = {
+    import spark.implicits._
+    fetched.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"status" =!= 200, 1L).otherwise(0L)).as("errors"))
+      .select(lit(k).as("round"), lit("fetch_parse").as("stage"),
+        $"partition_id", $"n".as("rows_in"), $"n".as("rows_out"),
+        $"errors", lit(0L).as("wall_ms"))
+      .as[LineageRow]
+  }
+
+  /** Deterministic manifest: fixed key order, no wall-clock fields. */
+  def manifestJson(m: RoundMetrics, cfg: CrawlConfig): String = {
+    s"""{"round":${m.round},"due":${m.due},"robots_denied":${m.robots_denied},""" +
+      s""""gated":${m.gated},"deferred":${m.deferred},"fetched":${m.fetched},""" +
+      s""""fetch_errors":${m.fetch_errors},"links_extracted":${m.links_extracted},""" +
+      s""""links_deduped":${m.links_deduped},"new_urls":${m.new_urls},""" +
+      s""""frontier_size":${m.frontier_size},"seen_size":${m.seen_size},""" +
+      s""""host_budget":${cfg.hostBudget},"round_cap":${cfg.roundCap},""" +
+      s""""crawl_delay_default_ms":${cfg.crawlDelayDefaultMs}}"""
+  }
+}

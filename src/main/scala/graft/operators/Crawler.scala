@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.Model._
+import graft.sources.SnapshotStore
+
+/** Multi-round crawl driver: checkpoint-resumable rounds over a SnapshotStore
+  * (north_rule: "resumable from checkpoint with per-partition lineage +
+  * metrics"). Resume is trivial by construction — `store.head` names the last
+  * committed snapshot, and `run` continues from there; a crashed round left
+  * only an invisible tmp dir and is re-run deterministically.
+  */
+object Crawler {
+
+  /** Run (or resume) the crawl until `rounds` rounds have committed.
+    * Returns per-round metrics of the rounds executed in THIS call. */
+  def run(spark: SparkSession, store: SnapshotStore, seeds: Seq[String],
+      rounds: Int, cfg: CrawlConfig = CrawlConfig()): Seq[RoundMetrics] = {
+    if (store.head.isEmpty) CrawlRound.initialize(spark, store, seeds, cfg)
+    val from = store.head.get
+    (from until rounds).map { k =>
+      CrawlRound.run(spark, store, k, cfg).metrics
+    }
+  }
+
+  /** Crawl ordering artifact (SURVEY.md §5.3 `ordering.csv`): every fetch of
+    * the whole crawl as (round, seq, url), the golden-locked order. */
+  def ordering(spark: SparkSession, store: SnapshotStore): DataFrame = {
+    val k = store.head.getOrElse(0)
+    store.loadAllPages(k).select(col("round"), col("seq"), col("url"))
+      .orderBy(col("round"), col("seq"))
+  }
+
+  /** Final URL-seen set (the north_rule equality artifact). */
+  def seenSet(spark: SparkSession, store: SnapshotStore): Dataset[SeenUrl] = {
+    val k = store.head.getOrElse(0)
+    store.loadSeen(k)
+  }
+
+  /** Order-independent digest of the final URL-seen set (SURVEY.md §2.4 A5):
+    * (count, decimal-sum of xxhash64(url), xor of xxhash64(url)) — commutative,
+    * so it is partitioning-independent and cheap to compare against a golden.
+    * The sum runs in decimal(38,0): a plain long sum of 64-bit hashes overflows
+    * under Spark 4's default ANSI mode. */
+  def seenDigest(spark: SparkSession, store: SnapshotStore): (Long, String, Long) = {
+    import spark.implicits._
+    seenSet(spark, store)
+      .select(
+        count(lit(1)).as("n"),
+        sum(xxhash64(col("url")).cast("decimal(38,0)")).cast("string").as("hsum"),
+        expr("bit_xor(xxhash64(url))").as("hxor"))
+      .as[(Long, String, Long)].head()
+  }
+
+  /** Per-url extracted-text hashes (the byte-identical invariant artifact,
+    * BASELINE.json input_hint; SURVEY.md §5.3 `text_sha256.csv`). */
+  def textShas(spark: SparkSession, store: SnapshotStore): DataFrame = {
+    val k = store.head.getOrElse(0)
+    store.loadAllPages(k).filter(col("status") === 200)
+      .select(col("url"), col("text_sha256"))
+  }
+
+  /** The pages table in the input_hint shape (url, warc_ts, html, text, lang)
+    * — what this engine would read from / publish to an Iceberg catalog on a
+    * real cluster. Synthesized deterministically from the crawled URLs. */
+  def pagesTable(spark: SparkSession, store: SnapshotStore): Dataset[PageRow] = {
+    import spark.implicits._
+    val k = store.head.getOrElse(0)
+    store.loadAllPages(k).filter(col("status") === 200).map { r =>
+      val html = graft.core.SyntheticWeb.htmlFor(r.url)
+      PageRow(r.url, new java.sql.Timestamp(r.fetch_ts), html.getBytes("UTF-8"),
+        r.text, langOf(r.url))
+    }
+  }
+
+  private val Langs = Array("en", "fr", "es", "zh", "de")
+  private def langOf(url: String): String =
+    Langs(math.floorMod(graft.core.Hashes.mix(graft.core.Hashes.xxh64(url), 97), 5).toInt)
+}

@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.plans.Model._
+
+/** Iceberg-style snapshot store on parquet + an atomic HEAD pointer
+  * (SURVEY.md §1.1 "Snapshots / rounds", §4.2 "Checkpoint commit protocol").
+  *
+  * No Iceberg runtime jar exists in this sandbox (SURVEY.md §7 [ENV]), so this
+  * class implements the equivalent commit protocol by hand:
+  *
+  *   1. all tables of snapshot k are written under `<root>/.tmp-k/`;
+  *   2. a `manifest.json` (row counts, metrics, pinned config) is written last
+  *      inside the tmp dir;
+  *   3. the tmp dir is renamed to `<root>/snapshot-k` (atomic on a local/posix
+  *      fs; on an object store this step would be an Iceberg/metastore commit —
+  *      the trait boundary to swap is exactly this class);
+  *   4. `HEAD` is replaced via write-tmp + ATOMIC_MOVE.
+  *
+  * A crash between any two steps leaves either the old HEAD (tmp dir invisible
+  * to readers — resume re-runs the round deterministically) or the new HEAD
+  * (round fully committed). Readers only ever follow HEAD.
+  *
+  * Layout of snapshot k (the state a round k consumes):
+  *   frontier/    — Dataset[FrontierEntry], range-ordered by (priority desc,
+  *                  next_fetch_ts, url_hash) at write time (SURVEY.md §2.6 O1)
+  *   seen_delta/  — Dataset[SeenUrl] newly discovered by round k-1 (cumulative
+  *                  seen set = union of deltas 0..k — append-only, compactable)
+  *   pages/       — Dataset[FetchResult] fetched by round k-1 (S9 text sink)
+  *   lineage/     — Dataset[LineageRow] per-partition counters (S8)
+  *   bloom.bin    — cumulative URL-seen BloomFilter over url_hash (A3)
+  *   manifest.json
+  */
+final class SnapshotStore(spark: SparkSession, val root: String) {
+  import spark.implicits._
+
+  private def snapDir(k: Int): Path = Paths.get(root, s"snapshot-$k")
+  private def tmpDir(k: Int): Path = Paths.get(root, s".tmp-$k")
+  private val headPath: Path = Paths.get(root, "HEAD")
+
+  Files.createDirectories(Paths.get(root))
+
+  /** Latest committed snapshot id, if any. */
+  def head: Option[Int] =
+    if (Files.exists(headPath)) Some(Files.readString(headPath).trim.toInt) else None
+
+  def frontierPath(k: Int): String = snapDir(k).resolve("frontier").toString
+  def seenDeltaPath(k: Int): String = snapDir(k).resolve("seen_delta").toString
+  def pagesPath(k: Int): String = snapDir(k).resolve("pages").toString
+  def lineagePath(k: Int): String = snapDir(k).resolve("lineage").toString
+
+  def loadFrontier(k: Int): Dataset[FrontierEntry] =
+    spark.read.parquet(frontierPath(k)).as[FrontierEntry]
+
+  /** Exact cumulative URL-seen set at snapshot k = union of all deltas ≤ k.
+    * One multi-path parquet scan; Spark unions the files without a shuffle. */
+  def loadSeen(k: Int): Dataset[SeenUrl] = {
+    val paths = (0 to k).map(seenDeltaPath).filter(p => Files.exists(Paths.get(p)))
+    spark.read.parquet(paths: _*).as[SeenUrl]
+  }
+
+  def loadPages(k: Int): Dataset[FetchResult] =
+    spark.read.parquet(pagesPath(k)).as[FetchResult]
+
+  def loadAllPages(k: Int): Dataset[FetchResult] = {
+    val paths = (0 to k).map(pagesPath).filter(p => Files.exists(Paths.get(p)))
+    spark.read.parquet(paths: _*).as[FetchResult]
+  }
+
+  def loadLineage(k: Int): Dataset[LineageRow] = {
+    val paths = (0 to k).map(lineagePath).filter(p => Files.exists(Paths.get(p)))
+    spark.read.parquet(paths: _*).as[LineageRow]
+  }
+
+  /** Cumulative URL-seen bloom persisted with snapshot k (SURVEY.md §2.4 A3). */
+  def loadBloom(k: Int): Option[BloomFilter] = {
+    val p = snapDir(k).resolve("bloom.bin")
+    if (!Files.exists(p)) None
+    else {
+      val in = Files.newInputStream(p)
+      try Some(BloomFilter.readFrom(in)) finally in.close()
+    }
+  }
+
+  def manifest(k: Int): Option[String] = {
+    val p = snapDir(k).resolve("manifest.json")
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
+  def exists(k: Int): Boolean = Files.exists(snapDir(k).resolve("manifest.json"))
+
+  /** Staging handle for snapshot k: write all tables under the invisible tmp
+    * dir, then `commit()` makes the snapshot visible atomically. */
+  final class Pending private[SnapshotStore] (k: Int) {
+    private val dir = tmpDir(k)
+    // a stale tmp dir from a crashed run is invisible garbage — reclaim it
+    if (Files.exists(dir)) deleteRecursively(dir)
+    Files.createDirectories(dir)
+
+    def frontierPath: String = dir.resolve("frontier").toString
+    def seenDeltaPath: String = dir.resolve("seen_delta").toString
+    def pagesPath: String = dir.resolve("pages").toString
+    def lineagePath: String = dir.resolve("lineage").toString
+
+    def writeBloom(bf: BloomFilter): Unit = {
+      val out = Files.newOutputStream(dir.resolve("bloom.bin"))
+      try bf.writeTo(out) finally out.close()
+    }
+
+    /** Step 2–4 of the protocol. `manifestJson` must already be deterministic
+      * (no wall-clock fields) so identical runs byte-compare (SURVEY.md §5.4). */
+    def commit(manifestJson: String): Unit = {
+      Files.writeString(dir.resolve("manifest.json"), manifestJson)
+      val target = snapDir(k)
+      if (Files.exists(target)) deleteRecursively(target) // re-run of uncommitted round
+      Files.move(dir, target, StandardCopyOption.ATOMIC_MOVE)
+      val headTmp = Paths.get(root, ".HEAD.tmp")
+      Files.writeString(headTmp, k.toString)
+      Files.move(headTmp, headPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    def abort(): Unit = if (Files.exists(dir)) deleteRecursively(dir)
+  }
+
+  def begin(k: Int): Pending = new Pending(k)
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(c => deleteRecursively(c))
+    Files.deleteIfExists(p)
+  }
+}

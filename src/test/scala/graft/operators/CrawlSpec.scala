@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.core.{SyntheticWeb, UrlCanon}
+import graft.plans.Model._
+import graft.sources.SnapshotStore
+
+/** End-to-end crawl invariants (SURVEY.md §5.2–§5.5): politeness, robots,
+  * dedup-exactness, determinism, resume, bloom-vs-exact equivalence, salting. */
+class CrawlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val cfg = CrawlConfig(hostBudget = 4, crawlDelayDefaultMs = 1000L,
+    roundCap = 500, seedPriority = 5)
+  val seeds = SyntheticWeb.seeds(20)
+  val Rounds = 5
+
+  /** The shared golden crawl — run once, inspected by several tests. */
+  lazy val store: SnapshotStore = {
+    val s = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-golden"))
+    Crawler.run(spark, s, seeds, Rounds, cfg)
+    s
+  }
+
+  test("crawl progresses: fetches pages, grows seen + frontier") {
+    val k = store.head.get
+    assert(k === Rounds)
+    val pages = store.loadAllPages(k)
+    assert(pages.count() > 100)
+    val m = store.manifest(k).get
+    assert(m.contains("\"seen_size\""))
+    assert(Crawler.seenSet(spark, store).count() > pages.count())
+  }
+
+  test("politeness: per-host per-round fetches ≤ budget, spaced by crawl-delay (W4)") {
+    val k = store.head.get
+    val pages = store.loadAllPages(k).persist()
+    val perHost = pages.groupBy($"round", $"host").count()
+    assert(perHost.filter($"count" > cfg.hostBudget).count() === 0)
+    // adjacent same-host fetch_ts gaps within a round == the host's crawl delay
+    val gaps = pages
+      .withColumn("prev", lag($"fetch_ts", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"round", $"host").orderBy($"fetch_ts")))
+      .filter($"prev".isNotNull)
+      .select($"host", ($"fetch_ts" - $"prev").as("gap")).as[(String, Long)]
+      .collect()
+    gaps.foreach { case (host, gap) =>
+      val delay = SyntheticWeb.robotsFor(host).crawlDelayMs
+      assert(gap === delay, s"host $host gap $gap != delay $delay")
+    }
+    pages.unpersist()
+  }
+
+  test("robots: no fetched url is disallowed for its host") {
+    val k = store.head.get
+    val urls = store.loadAllPages(k).select($"url").as[String].collect()
+    urls.foreach { u =>
+      val rules = SyntheticWeb.robotsFor(UrlCanon.hostOf(u))
+      assert(rules.allowed(UrlCanon.pathOf(u)), s"disallowed url fetched: $u")
+    }
+    assert(urls.nonEmpty)
+  }
+
+  test("dedup exactness: no url fetched twice; fetched ⊆ seen; seen is distinct") {
+    val k = store.head.get
+    val pages = store.loadAllPages(k)
+    assert(pages.groupBy($"url").count().filter($"count" > 1).count() === 0)
+    val seen = Crawler.seenSet(spark, store)
+    assert(seen.groupBy($"url_hash_hi", $"url_hash_lo").count()
+      .filter($"count" > 1).count() === 0)
+    assert(pages.select($"url").except(seen.select($"url")).count() === 0)
+  }
+
+  test("frontier never contains a url twice and all entries are canonical") {
+    val k = store.head.get
+    val fr = store.loadFrontier(k).persist()
+    assert(fr.groupBy($"url_hash_hi", $"url_hash_lo").count()
+      .filter($"count" > 1).count() === 0)
+    val urls = fr.select($"url").as[String].take(200)
+    urls.foreach(u => assert(UrlCanon.canonical(u).contains(u), s"non-canonical: $u"))
+    fr.unpersist()
+  }
+
+  test("global round sequence is dense, 0-based, ordered by (priority desc, ts, hash)") {
+    val k = store.head.get
+    (0 until Rounds).foreach { r =>
+      val rows = store.loadPages(r + 1)
+        .select($"seq", $"priority", $"next_fetch_ts", $"url_hash")
+        .as[(Long, Int, Long, Long)].collect().sortBy(_._1)
+      assert(rows.map(_._1).toSeq === rows.indices.map(_.toLong))
+      rows.sliding(2).foreach {
+        case Array((_, p1, t1, h1), (_, p2, t2, h2)) =>
+          assert(p1 > p2 || (p1 == p2 && (t1 < t2 || (t1 == t2 && h1 < h2))),
+            s"order violated in round $r")
+        case _ =>
+      }
+    }
+  }
+
+  test("determinism: a second identical crawl reproduces ordering, digest, manifests") {
+    val store2 = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-det"))
+    Crawler.run(spark, store2, seeds, Rounds, cfg)
+    assert(Crawler.seenDigest(spark, store2) === Crawler.seenDigest(spark, store))
+    val o1 = Crawler.ordering(spark, store).as[(Int, Long, String)].collect().toSeq
+    val o2 = Crawler.ordering(spark, store2).as[(Int, Long, String)].collect().toSeq
+    assert(o1 === o2)
+    (0 to Rounds).foreach(k => assert(store.manifest(k) === store2.manifest(k)))
+  }
+
+  test("resume: interrupt after round 2, resume in a fresh store handle → identical") {
+    val dir = SparkTestSession.tempDir("crawl-resume")
+    val s1 = new SnapshotStore(spark, dir)
+    Crawler.run(spark, s1, seeds, 2, cfg) // rounds 0,1 committed
+    assert(s1.head.get === 2)
+    val s2 = new SnapshotStore(spark, dir) // "new session"
+    Crawler.run(spark, s2, seeds, Rounds, cfg) // resume 2..4
+    assert(Crawler.seenDigest(spark, s2) === Crawler.seenDigest(spark, store))
+    val o1 = Crawler.ordering(spark, store).as[(Int, Long, String)].collect().toSeq
+    val o2 = Crawler.ordering(spark, s2).as[(Int, Long, String)].collect().toSeq
+    assert(o1 === o2)
+  }
+
+  test("bloom routing is exact: useBloom=false produces the identical crawl") {
+    val s = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-nobloom"))
+    Crawler.run(spark, s, seeds, 3, cfg.copy(useBloom = false))
+    val sB = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-bloom"))
+    Crawler.run(spark, sB, seeds, 3, cfg.copy(useBloom = true))
+    assert(Crawler.seenDigest(spark, s) === Crawler.seenDigest(spark, sB))
+    val o1 = Crawler.ordering(spark, s).as[(Int, Long, String)].collect().toSeq
+    val o2 = Crawler.ordering(spark, sB).as[(Int, Long, String)].collect().toSeq
+    assert(o1 === o2)
+  }
+
+  test("hot-host salting: two-phase top-k equals the unsalted politeness gate") {
+    // force everything hot: threshold 1 → every host goes through phase 1
+    val salted = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-salt"))
+    Crawler.run(spark, salted, seeds, 3, cfg.copy(hotHostThreshold = 1, saltBuckets = 4))
+    val plain = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-plain"))
+    Crawler.run(spark, plain, seeds, 3, cfg)
+    val o1 = Crawler.ordering(spark, salted).as[(Int, Long, String)].collect().toSeq
+    val o2 = Crawler.ordering(spark, plain).as[(Int, Long, String)].collect().toSeq
+    assert(o1 === o2)
+    assert(Crawler.seenDigest(spark, salted) === Crawler.seenDigest(spark, plain))
+  }
+
+  test("text extraction is byte-stable: sha256 recomputes identically") {
+    val k = store.head.get
+    val rows = store.loadAllPages(k).filter($"status" === 200)
+      .select($"url", $"text", $"text_sha256")
+      .as[(String, String, String)].take(50)
+    assert(rows.nonEmpty)
+    rows.foreach { case (url, text, sha) =>
+      assert(graft.core.Hashes.sha256Hex(text) === sha)
+      assert(graft.core.TextExtract.extract(SyntheticWeb.htmlFor(url)) === text)
+    }
+  }
+
+  test("404 pages carry no text and no links but are marked seen") {
+    val k = store.head.get
+    val errs = store.loadAllPages(k).filter($"status" =!= 200)
+    assert(errs.filter(length($"text") > 0 || size($"links") > 0).count() === 0)
+  }
+}

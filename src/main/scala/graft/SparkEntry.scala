@@ -1,13 +1,339 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.SyntheticWeb
+import graft.functions.{Multimodal, TextAnalysis}
+import graft.operators.{Crawler, Dedup, Similarity}
+import graft.plans.Model.CrawlConfig
+import graft.sources.SnapshotStore
+
+/** Driver contract (builder prompt + SURVEY.md §7): one `queries` entry per
+  * implemented operator, with DuckDB-equivalent `oracleSql` where the
+  * semantics are ANSI-SQL-expressible. Crawl-engine and hash-based operators
+  * (MinHash/SimHash/LSH/xxhash) are not reproducible in DuckDB and are
+  * registered without oracle SQL (rows-only check).
+  *
+  * Oracle-parity rules used throughout (so value hashes match DuckDB):
+  *  - every aggregate/computed column aliased identically on both sides;
+  *  - integer results: DuckDB sums wrapped in CAST(.. AS BIGINT) (DuckDB
+  *    promotes BIGINT sums to HUGEINT), Spark counts/sizes cast to long;
+  *  - money doubles reduced via round(x*100) → exact integer cents — never
+  *    sum raw doubles (accumulation order differs across engines);
+  *  - raw double columns pass through untouched (bit-identical in parquet).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // --- shared mini-crawl fixture (memoized per JVM) --------------------------
+  private val crawlCfg = CrawlConfig(roundCap = 300)
+  private val CrawlRounds = 3
+  @volatile private var crawlDir: Option[String] = None
+  private def crawlStore(spark: SparkSession): SnapshotStore = synchronized {
+    val d = crawlDir.getOrElse {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-entry-crawl").toString
+      crawlDir = Some(tmp); tmp
+    }
+    val st = new SnapshotStore(spark, d)
+    if (st.head.forall(_ < CrawlRounds))
+      Crawler.run(spark, st, SyntheticWeb.seeds(12), CrawlRounds, crawlCfg)
+    st
+  }
+
+  /** Flagship: crawl the synthetic web, then run the training-data text stack
+    * (lang-ID, quality, token count, fingerprint) over the extracted text —
+    * the full engine in one plan. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val st = crawlStore(spark)
+    val langIdUdf = udf((s: String) => TextAnalysis.langId(s))
+    val qualityUdf = udf((s: String) => TextAnalysis.quality(s).score)
+    val tokUdf = udf((s: String) => TextAnalysis.tokens(s).length)
+    val fpUdf = udf((s: String) => TextAnalysis.fingerprint(s))
+    st.loadAllPages(st.head.getOrElse(0)).filter(col("status") === 200)
+      .select(col("url"), col("round"), col("seq"), col("text_sha256"),
+        langIdUdf(col("text")).as("lang_pred"),
+        qualityUdf(col("text")).as("quality"),
+        tokUdf(col("text")).as("n_tokens"),
+        fpUdf(col("text")).as("fingerprint"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- crawl engine (SyntheticWeb; not DuckDB-expressible → rows-only) ----
+    "crawl_pages" -> ((s, _) => {
+      val st = crawlStore(s)
+      st.loadAllPages(st.head.getOrElse(0))
+        .select(col("url"), col("round"), col("seq"), col("host"),
+          col("status"), col("fetch_ts"), col("text_sha256"))
+    }),
+    "crawl_ordering" -> ((s, _) => Crawler.ordering(s, crawlStore(s))),
+    "crawl_seen" -> ((s, _) => {
+      val st = crawlStore(s)
+      Crawler.seenSet(s, st).toDF()
+    }),
+    "crawl_frontier" -> ((s, _) => {
+      val st = crawlStore(s)
+      st.loadFrontier(st.head.getOrElse(0)).toDF()
+    }),
+    "crawl_lineage" -> ((s, _) => {
+      val st = crawlStore(s)
+      st.loadLineage(st.head.getOrElse(0)).toDF()
+    }),
+
+    // ---- relational operator inventory (oracle-checked vs DuckDB) ----------
+    "q_scan_filter" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))),
+
+    "q_agg_user" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        sum(round(col("value") * 100).cast("long")).as("total_cents"))),
+
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+      t(s, d, "lineitem").withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("rn"))
+    }),
+
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // parquet ts is TIMESTAMP_NTZ; session tz is UTC, so the LTZ cast is the
+      // identity instant and unix_millis matches DuckDB's epoch_ms
+      val ms = unix_millis(col("ts").cast("timestamp_ltz"))
+      t(s, d, "events")
+        .withColumn("gap_ms", ms - lag(ms, 1).over(w))
+        .select(col("user_id"), col("event_id"), col("gap_ms"))
+    }),
+
+    "q_window_cumsum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("running_cents", sum(round(col("value") * 100).cast("long")).over(w))
+        .select(col("user_id"), col("event_id"), col("running_cents"))
+    }),
+
+    "q_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+
+    "q_semi_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))),
+
+    "q_join_agg" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))),
+
+    "q_asof_latest" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, d, "events").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+    }),
+
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "documents").rollup(col("lang"), col("source")).agg(
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))),
+
+    "q_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))),
+
+    "q_topk" -> ((s, d) =>
+      t(s, d, "orders").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100).select(col("o_orderkey"), col("o_totalprice"))),
+
+    "q_union_dedup" -> ((s, d) => {
+      val e = t(s, d, "events")
+      e.filter(col("event_type") === "click").select(col("user_id"))
+        .unionByName(e.filter(col("event_type") === "purchase").select(col("user_id")))
+        .distinct()
+    }),
+
+    "q_json" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    "q_tokens" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("long").as("n_bpe_tokens"))),
+
+    "q_text_stats" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        expr("octet_length(text)").cast("long").as("len_bytes"),
+        col("n_chars"))),
+
+    "q_punct_counts" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        regexp_count(col("text"), lit("[.,;:!?]")).cast("long").as("n_punct"),
+        regexp_count(col("text"), lit("[A-Za-z]")).cast("long").as("n_alpha"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"))),
+
+    "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
+
+    "q_group_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, d, "documents").withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("rn"))
+    }),
+
+    "q_date_trunc" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))),
+
+    // ---- training-data pipeline ops (hash-based → rows-only checks) --------
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minHashReport(t(s, d, "documents"))),
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simHashIndex(t(s, d, "documents"))),
+    "q_ann_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+    "q_lang_quality" -> ((s, d) => {
+      val langIdUdf = udf((x: String) => TextAnalysis.langId(x))
+      val qUdf = udf((x: String) => TextAnalysis.quality(x))
+      t(s, d, "documents").select(col("doc_id"), col("lang"),
+          langIdUdf(col("text")).as("lang_pred"), qUdf(col("text")).as("q"))
+        .select(col("doc_id"), col("lang"), col("lang_pred"),
+          col("q.n_tokens"), col("q.mean_token_len"), col("q.alpha_ratio"),
+          col("q.stopword_ratio"), col("q.score"))
+    }),
+    "q_fingerprint" -> ((s, d) => {
+      val fpUdf = udf((x: String) => TextAnalysis.fingerprint(x))
+      val shUdf = udf((x: String) => TextAnalysis.simHash(x))
+      t(s, d, "documents").select(col("doc_id"),
+        fpUdf(col("text")).as("fingerprint"), shUdf(col("text")).as("simhash"))
+    }),
+    "q_multimodal_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.synthesize(t(s, d, "documents"))).toDF()),
+    "q_multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.synthesize(t(s, d, "documents")))
+        .select(col("media_id"), col("frame_idx"))),
+  )
+
+  /** DuckDB-runnable oracles for every ANSI-expressible query above. */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'""".stripMargin,
+    "q_agg_user" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_window_rank" ->
+      """SELECT l_orderkey, l_linenumber, rn FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn <= 2""".stripMargin,
+    "q_window_lag" ->
+      """SELECT user_id, event_id,
+        |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        |FROM events""".stripMargin,
+    "q_window_cumsum" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+        |FROM events""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_join_agg" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_asof_latest" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+    "q_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders FROM lineitem""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_union_dedup" ->
+      """SELECT DISTINCT user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
+    "q_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "q_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
+        |  CAST(strlen(text) AS BIGINT) AS len_bytes, n_chars
+        |FROM documents""".stripMargin,
+    "q_punct_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+        |FROM documents""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_group_topk" ->
+      """SELECT lang, doc_id, n_chars, rn FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 2""".stripMargin,
+    "q_date_trunc" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1""".stripMargin,
+  )
 }

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Corpus deduplication operators for training-data pipelines (builder prompt:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard). All operate on a DataFrame
+  * with (doc_id: long, text: string) columns — e.g. the driver `documents`
+  * table or this engine's crawled pages.
+  *
+  * Scale design: every stage is a hash-keyed shuffle — no cross joins, no
+  * driver-side state. MinHash signatures/band keys are computed in one
+  * executor-local pass per doc; candidate pairs come from a groupBy on
+  * (band, band_key) buckets whose size is capped (hot buckets are truncated
+  * and logged, the standard LSH skew guard) so one degenerate bucket cannot
+  * produce O(n²) pairs.
+  */
+object Dedup {
+
+  /** Exact dedup via content-hash groupBy: one row per distinct text with the
+    * surviving (minimum) doc_id and the duplicate count. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Distinct-keeper: the deduplicated corpus (keep the min doc_id per text). */
+  def exactKeep(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  private val sigUdf = udf((text: String) =>
+    TextAnalysis.minHashSignature(TextAnalysis.shingles(text)))
+  private val bandUdf = udf((sig: Seq[Long]) =>
+    TextAnalysis.bandKeys(sig.toArray))
+  private val estJacUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+    TextAnalysis.estJaccard(a.toArray, b.toArray))
+  private val shinglesUdf = udf((text: String) => TextAnalysis.shingles(text))
+  private val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+    TextAnalysis.jaccard(a.toArray, b.toArray))
+
+  /** Per-doc MinHash signature + LSH band keys (the reusable index). */
+  def minHashIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
+      .withColumn("bands", bandUdf(col("sig")))
+
+  /** MinHash+LSH candidate pairs with signature-estimated Jaccard ≥ threshold.
+    * Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, distinct. */
+  def minHashPairs(docs: DataFrame, threshold: Double = 0.7,
+      maxBucket: Int = 64): DataFrame = {
+    val idx = minHashIndex(docs)
+    val exploded = idx.select(col("doc_id"), col("sig"),
+      posexplode(col("bands")).as(Seq("band", "band_key")))
+    // bucket join: docs sharing a band key; bucket capped for skew safety
+    val buckets = exploded
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("band_key")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= maxBucket)
+    val a = buckets.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = buckets.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        estJacUdf(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Per-doc near-dup summary (total-row-stable: emits one row per doc even
+    * with zero candidates — LEFT join of docs onto their best pair). */
+  def minHashReport(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashPairs(docs, threshold)
+    val sym = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("other"),
+        col("est_jaccard"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("other"), col("est_jaccard")))
+    val best = sym.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_candidates"),
+      max(struct(col("est_jaccard"), col("other"))).as("best"))
+      .select(col("doc_id"), col("n_candidates"),
+        col("best.other").as("best_match"),
+        col("best.est_jaccard").as("best_est_jaccard"))
+    docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .na.fill(Map("n_candidates" -> 0L, "best_match" -> -1L,
+        "best_est_jaccard" -> 0.0))
+  }
+
+  /** Exact n-gram Jaccard verification of MinHash candidates: re-joins the
+    * candidate pairs to the raw texts and computes true shingle-set Jaccard
+    * (the verify step of the standard dedup pipeline). */
+  def jaccardVerify(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val sh = docs.select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
+    minHashPairs(docs, threshold * 0.8)
+      .join(sh.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
+      .join(sh.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        jaccardUdf(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  private val simHashUdf = udf((text: String) => TextAnalysis.simHash(text))
+
+  /** Per-doc 64-bit SimHash plus its 4 16-bit Hamming-LSH block keys —
+    * near-dups within Hamming distance 3 share at least one block
+    * (pigeonhole; Manku et al., WWW 2007, public). */
+  def simHashIndex(docs: DataFrame): DataFrame = {
+    val withSim = docs.select(col("doc_id"), simHashUdf(col("text")).as("simhash"))
+    (0 until 4).foldLeft(withSim) { (df, b) =>
+      df.withColumn(s"block$b",
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)))
+    }
+  }
+
+  /** SimHash near-dup pairs: bucket by each 16-bit block, verify Hamming ≤ k. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val idx = simHashIndex(docs)
+    val blocks = (0 until 4).map { b =>
+      idx.select(lit(b).as("block_id"), col(s"block$b").as("block_key"),
+        col("doc_id"), col("simhash"))
+    }.reduce(_ unionByName _)
+    val a = blocks.toDF("block_id", "block_key", "doc_a", "sim_a")
+    val b = blocks.toDF("block_id", "block_key", "doc_b", "sim_b")
+    val hammingCol = udf((x: Long, y: Long) => TextAnalysis.hamming(x, y))
+    a.join(b, Seq("block_id", "block_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hammingCol(col("sim_a"), col("sim_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Hashes
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]) — builder prompt: brute-force cosine top-k baseline plus an
+  * LSH-bucketed scale path.
+  *
+  * Scale design: the query set is always the broadcast side; the corpus is
+  * never collected. Cosine runs inside codegen'd SQL (`zip_with` +
+  * `aggregate`), not a Scala UDF. Brute force is exact and O(|corpus|·|Q|);
+  * the random-hyperplane LSH variant prunes the corpus to matching signature
+  * buckets (multi-probe over all 1-bit flips) before scoring — the standard
+  * recall/cost trade.
+  */
+object Similarity {
+
+  /** Codegen-friendly cosine similarity between two float-array columns,
+    * computed in double precision. */
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) =>
+      acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) =>
+      acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self-matches excluded). `corpus`/`queries` need columns
+    * (vec_id: long, embedding: array<float>). Two-phase top-k: per-partition
+    * candidates would be the next refinement; at this k the window rank over
+    * a query-keyed shuffle is already scale-safe because rows = |corpus|·|Q|
+    * is bounded by the broadcast query count. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: `nBits` planes × `dim` components,
+    * seeded through xxh64 → approximately N(0,1) via sum of uniforms. */
+  private[operators] def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L)
+      : Array[Array[Double]] =
+    Array.tabulate(nBits) { b =>
+      Array.tabulate(dim) { d =>
+        val h = Hashes.mix(seed + b * 1315423911L, d.toLong)
+        // 12-uniform sum ≈ normal; cheap, deterministic, good enough for LSH
+        var acc = 0.0
+        var i = 0
+        while (i < 12) {
+          acc += ((Hashes.mix(h, i.toLong) >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+          i += 1
+        }
+        acc
+      }
+    }
+
+  /** Sign-random-projection signatures (Charikar 2002) for `nTables`
+    * independent hash tables of `nBits` planes each — the standard
+    * recall-boosting LSH layout (a single table's recall decays as
+    * (1-θ/π)^bits; L tables union their buckets). Emits one
+    * (table: int, sig: int) pair per table per row via posexplode. */
+  def withLshSignatures(df: DataFrame, nBits: Int = 8, nTables: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nBits * nTables, dim)
+    val sigsUdf = udf { (emb: Seq[Float]) =>
+      Array.tabulate(nTables) { t =>
+        var sig = 0
+        var b = 0
+        while (b < nBits) {
+          val p = planes(t * nBits + b)
+          var dot = 0.0; var d = 0
+          val n = math.min(emb.length, p.length)
+          while (d < n) { dot += emb(d) * p(d); d += 1 }
+          if (dot >= 0) sig |= (1 << b)
+          b += 1
+        }
+        sig
+      }
+    }
+    df.withColumn("sigs", sigsUdf(col("embedding")))
+      .select(col("*"), posexplode(col("sigs")).as(Seq("table", "sig")))
+      .drop("sigs")
+  }
+
+  /** LSH-bucketed ANN: candidates = corpus vectors sharing a (table, sig)
+    * bucket with the query in ANY table, multi-probed over all 1-bit flips of
+    * the query signature; then exact cosine top-k inside the candidate set.
+    * The bucket join replaces the full scan — the recall/cost trade. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nBits: Int = 8, nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val c = withLshSignatures(corpus, nBits, nTables, dim)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("table"), col("sig"))
+    val probes = udf { (sig: Int) => (0 until nBits).map(b => sig ^ (1 << b)) :+ sig }
+    val q = withLshSignatures(queries, nBits, nTables, dim)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("table"), explode(probes(col("sig"))).as("sig"))
+    val cand = c.join(broadcast(q), Seq("table", "sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
+      .dropDuplicates("query_id", "neighbor_id") // union of all table buckets
+    val scored = cand.withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // corpus with planted exact + near duplicates
+  val base = "the quick brown fox jumps over the lazy dog and keeps running through the green field today"
+  lazy val docs = Seq(
+    (0L, base),
+    (1L, base), // exact dup of 0
+    (2L, base.replace("dog", "cat")), // near dup of 0
+    (3L, "spark datasets shuffle partitions and broadcast joins across the executor fleet"),
+    (4L, "completely unrelated text about cooking pasta with tomatoes and basil leaves"),
+    (5L, "yet another very different document mentioning telescopes galaxies and orbital mechanics"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup: groups exact copies, keeps min doc_id") {
+    val r = Dedup.exact(docs).collect()
+    assert(r.length === 5) // 6 docs, one exact pair
+    val dupRow = r.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupRow.getAs[Long]("keep_doc_id") === 0L)
+    assert(Dedup.exactKeep(docs).count() === 5)
+    assert(Dedup.exactKeep(docs).select("doc_id").as[Long].collect().toSet
+      === Set(0L, 2L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH: finds exact and near duplicates, no false pairs") {
+    val pairs = Dedup.minHashPairs(docs, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(pairs.forall { case (a, b) => Set(a, b).subsetOf(Set(0L, 1L, 2L)) },
+      s"false positives: $pairs")
+  }
+
+  test("minhash report: one row per doc, zero-candidate docs included") {
+    val r = Dedup.minHashReport(docs, threshold = 0.5)
+    assert(r.count() === 6)
+    val none = r.filter($"n_candidates" === 0).select($"doc_id").as[Long].collect().toSet
+    assert(none === Set(3L, 4L, 5L))
+    val best01 = r.filter($"doc_id" === 0L).select($"best_est_jaccard").as[Double].head()
+    assert(best01 === 1.0)
+  }
+
+  test("jaccard verify: exact similarity confirms candidates") {
+    val v = Dedup.jaccardVerify(docs, threshold = 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)].collect()
+    val m = v.map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(m((0L, 1L)) === 1.0)
+    assert(m.keySet.forall { case (a, b) => Set(a, b).subsetOf(Set(0L, 1L, 2L)) })
+  }
+
+  test("simhash: near-dups bucket together within hamming 3..8") {
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 8)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.forall { case (a, b) => Set(a, b).subsetOf(Set(0L, 1L, 2L)) })
+    val idx = Dedup.simHashIndex(docs)
+    assert(idx.count() === 6)
+    assert(idx.columns.toSet === Set("doc_id", "simhash", "block0", "block1", "block2", "block3"))
+  }
+
+  test("bucket cap bounds pair explosion on degenerate corpora") {
+    val same = (0L until 100L).map(i => (i, base)).toDF("doc_id", "text")
+    val n = Dedup.minHashPairs(same, threshold = 0.5, maxBucket = 10).count()
+    // capped buckets: ≤ C(10,2) pairs per band instead of C(100,2)
+    assert(n <= 45)
+    assert(n > 0)
+  }
+}

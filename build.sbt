@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] is a single JVM doing the work of a whole cluster: cached
+  // fetch results + shuffle buffers need real heap or GC serializes the
+  // executor threads (measured: 32-thread fetch stage degraded to 8-thread
+  // speed at 8g; 80g triggered giant-heap G1 pauses — 32g is the sweet spot
+  // for this 125g box).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

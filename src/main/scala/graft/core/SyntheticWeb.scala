@@ -137,15 +137,17 @@ object SyntheticWeb {
     val seed = xxh64(url)
     val title = "Page " + java.lang.Long.toHexString(seed)
     val hrefs = hrefsFor(url)
-    val nPara = 2 + math.floorMod(mix(seed, 1), 4).toInt
-    val sb = new StringBuilder(2048)
+    // 25..64 paragraphs of 30..79 words — pages land in the tens-of-KB range
+    // of real web pages, so text extraction carries realistic CPU weight
+    val nPara = 25 + math.floorMod(mix(seed, 1), 40).toInt
+    val sb = new StringBuilder(32768)
     sb.append("<!DOCTYPE html>\n<html><head><title>").append(title)
       .append("</title>\n<style>p { color: #222; }</style>\n<script>var v=")
       .append(seed & 0xffffL).append(";</script></head>\n<body>\n<h1>")
       .append(title).append("</h1>\n")
     var i = 0
     while (i < nPara) {
-      sb.append("<p>").append(sentence(mix(seed, 500 + i), 8 + math.floorMod(mix(seed, 600 + i), 12).toInt))
+      sb.append("<p>").append(sentence(mix(seed, 500 + i), 30 + math.floorMod(mix(seed, 600 + i), 50).toInt))
       if (i < hrefs.length) {
         sb.append(" <a href=\"").append(hrefs(i)).append("\">")
           .append(word(mix(seed, 700 + i))).append("</a>")

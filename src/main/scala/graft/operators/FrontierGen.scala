@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Hashes, SyntheticWeb}
+import graft.plans.Model._
+import graft.sources.SnapshotStore
+
+/** Distributed synthetic-frontier generator (SURVEY.md §7 M7: "frontier
+  * generator at sf-bench"). Builds snapshot 0 with N deterministic URLs drawn
+  * from the zipfian SyntheticWeb universe — entirely executor-side
+  * (`spark.range` → typed map), no driver-side collection, so the same code
+  * generates the 10^10-URL design-point frontier on a real cluster. */
+object FrontierGen {
+
+  def init(spark: SparkSession, store: SnapshotStore, n: Long,
+      cfg: CrawlConfig, seed: Long = 777L): Long = {
+    import spark.implicits._
+    val t0 = roundTs(cfg, 0)
+    val entries = spark.range(n).map { i =>
+      val u = SyntheticWeb.urlFor(Hashes.mix(seed, i))
+      val prio = math.floorMod(Hashes.mix(Hashes.xxh64(u), 55), 10L).toInt
+      CrawlRound.entryFor(u, prio, t0, 0)
+    }.dropDuplicates("url_hash_hi", "url_hash_lo").persist()
+
+    val pending = store.begin(0)
+    CrawlRound.writeFrontier(entries, pending.frontierPath)
+    entries.map(e => SeenUrl(e.url_hash_hi, e.url_hash_lo, e.url, 0))
+      .write.parquet(pending.seenDeltaPath)
+    spark.emptyDataset[FetchResult].write.parquet(pending.pagesPath)
+    spark.emptyDataset[LineageRow].write.parquet(pending.lineagePath)
+    // coalesce: each partition yields a partial filter of the full bit-array
+    // size, so aggregate fan-in is serialized megabytes per partition
+    pending.writeBloom(entries.select($"url_hash").coalesce(4).stat
+      .bloomFilter("url_hash", cfg.bloomExpectedItems, cfg.bloomFpp))
+    val nRows = entries.count()
+    pending.commit(CrawlRound.manifestJson(
+      RoundMetrics(-1, 0, 0, 0, 0, 0, 0, 0, 0, nRows, nRows, nRows), cfg))
+    entries.unpersist(blocking = false)
+    nRows
+  }
+}

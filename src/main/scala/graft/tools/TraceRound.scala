@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{CrawlRound, FrontierGen}
+import graft.plans.Model.CrawlConfig
+import graft.sources.SnapshotStore
+
+/** Dev harness: one bench-sized crawl round with SPARK_GRAFT_TRACE stage
+  * timings. `runMain graft.tools.TraceRound <cpus> <nUrls>`. */
+object TraceRound {
+  def main(args: Array[String]): Unit = {
+    val cpus = args.headOption.getOrElse("32").toInt
+    val n = args.lift(1).getOrElse("300000").toLong
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .appName("trace").config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", "/dev/shm/graft-trace/spark-local")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = s"/dev/shm/graft-trace/store-$cpus-$n"
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.list(p).forEach(rm)
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(dir))
+    val store = new SnapshotStore(spark, dir)
+    val cfg = CrawlConfig(hostBudget = 1000, roundCap = Int.MaxValue,
+      bloomExpectedItems = 1L << 22)
+    val tg0 = System.nanoTime()
+    FrontierGen.init(spark, store, n, cfg)
+    System.err.println(f"[trace] frontier-gen: ${(System.nanoTime() - tg0) / 1e9}%.2fs")
+    val tw = System.nanoTime()
+    CrawlRound.run(spark, store, 0, cfg) // warm-up
+    System.err.println(f"[trace] warmup-round0: ${(System.nanoTime() - tw) / 1e9}%.2fs")
+    val t0 = System.nanoTime()
+    val m = CrawlRound.run(spark, store, 1, cfg).metrics
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"cpus=$cpus n=$n fetched=${m.fetched} new=${m.new_urls} " +
+      f"sec=$secs%.2f thpt=${(m.fetched + m.new_urls) / secs}%.1f")
+    spark.stop()
+  }
+}

@@ -19,9 +19,16 @@ import graft.core.Hashes
   */
 object Similarity {
 
-  /** Codegen-friendly cosine similarity between two float-array columns,
-    * computed in double precision. */
+  /** Cosine similarity between two float-array columns: the custom codegen'd
+    * Catalyst expression (one fused loop, no intermediate arrays). */
   def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftexpr.CosineSim(a, b)
+
+  /** The same semantics composed from built-ins (`zip_with` + `aggregate`) —
+    * kept as the reference formulation the custom expression is tested
+    * against, and the fallback if the engine runs without our extension. */
+  def cosineSql(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val dot = aggregate(zip_with(a, b, (x, y) =>
       x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)

@@ -160,6 +160,29 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  // --- golden replay (SURVEY.md §5.3): the committed files define the
+  // reference; the crawl must reproduce them byte-for-byte -----------------
+  private def golden(name: String): String =
+    new String(getClass.getResourceAsStream(s"/golden/$name").readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  test("golden: crawl ordering matches the frozen ordering.csv") {
+    val got = Crawler.ordering(spark, store).as[(Int, Long, String)].collect()
+      .map { case (r, s, u) => s"$r,$s,$u" }
+    assert("round,seq,url\n" + got.mkString("\n") + "\n" === golden("ordering.csv"))
+  }
+
+  test("golden: final URL-seen digest matches seen_digest.txt") {
+    val (n, hsum, hxor) = Crawler.seenDigest(spark, store)
+    assert(s"$n,$hsum,$hxor\n" === golden("seen_digest.txt"))
+  }
+
+  test("golden: per-url text sha256 matches text_sha256.csv (byte-identical invariant)") {
+    val got = Crawler.textShas(spark, store).as[(String, String)].collect()
+      .sortBy(_._1).map { case (u, s) => s"$u,$s" }
+    assert("url,sha256\n" + got.mkString("\n") + "\n" === golden("text_sha256.csv"))
+  }
+
   test("404 pages carry no text and no links but are marked seen") {
     val k = store.head.get
     val errs = store.loadAllPages(k).filter($"status" =!= 200)

@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.SparkTestSession
+
+/** Physical-plan shape locks (SURVEY.md §3.2, builder prompt: ".explain the
+  * plan and iterate until it's the plan you'd want"). These tests fail if a
+  * future change silently loses predicate pushdown, column pruning, the
+  * broadcast join, or adds an extra shuffle to the politeness dequeue. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("scan filter is pushed to the parquet reader and columns are pruned") {
+    val plan = formatted(SparkEntry.queries("q_scan_filter")(spark, sf))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,45"), plan)
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan)
+    // ReadSchema must not include untouched wide columns
+    assert(!plan.contains("l_extendedprice"), "column pruning lost:\n" + plan)
+    assert(!plan.contains("l_shipdate"), "column pruning lost:\n" + plan)
+  }
+
+  test("small dimension join is a broadcast hash join") {
+    val plan = formatted(SparkEntry.queries("q_join_agg")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("dedup anti-join compiles to a left-anti hash join, keyed on the join column") {
+    val plan = formatted(SparkEntry.queries("q_anti_join")(spark, sf))
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("politeness dequeue = exactly one exchange (host hash partitioning)") {
+    val frontier = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_suppkey".as("host"), $"l_orderkey".as("url_hash"),
+        $"l_quantity".as("priority"))
+    val w = Window.partitionBy($"host").orderBy($"priority".desc, $"url_hash")
+    val dequeue = frontier.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 4)
+    val physical = dequeue.queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(physical).length
+    assert(exchanges === 1, physical)
+    assert(physical.contains("hashpartitioning(host"), physical)
+  }
+
+  test("aggregations use partial (map-side) aggregation before the shuffle") {
+    val plan = SparkEntry.queries("q_agg_user")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // HashAggregate appears twice: partial_ before the exchange, final after
+    assert(plan.contains("partial_"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("top-k order-by-limit compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = SparkEntry.queries("q_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    // executedPlan marks codegen stages with the "*(n)" prefix
+    val plan = SparkEntry.queries("q_scan_filter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("documents 2-column projection reads a 2-column schema") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang")
+    val plan = formatted(df)
+    assert(plan.contains("doc_id"), plan)
+    assert(!plan.contains("struct<") || !plan.contains("text"), "pruning lost:\n" + plan)
+  }
+}

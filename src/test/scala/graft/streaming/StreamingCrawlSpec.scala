@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.core.{Hashes, SyntheticWeb}
+import graft.operators.CrawlRound
+import graft.plans.Model.{FrontierEntry, PageRow}
+
+class StreamingCrawlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mkPages(n: Int, seed: Long): Seq[PageRow] =
+    (0 until n).map { i =>
+      val u = SyntheticWeb.urlFor(Hashes.mix(seed, i.toLong))
+      val html = SyntheticWeb.htmlFor(u)
+      PageRow(u, new java.sql.Timestamp(1704067200000L + i * 60000L),
+        html.getBytes("UTF-8"), graft.core.TextExtract.extract(html), "en")
+    }
+
+  test("windowed metrics over a page-arrival stream match the batch computation") {
+    val dir = Files.createTempDirectory("stream-pages").toString
+    val ckpt = Files.createTempDirectory("stream-ckpt").toString
+    // two micro-batch file drops
+    spark.createDataset(mkPages(40, 1L)).write.parquet(s"$dir/batch0")
+    val all = spark.read.parquet(s"$dir/batch0")
+    // stream over the same files
+    val stream = StreamingCrawl.pageStream(spark, s"$dir/batch0")
+    val q = StreamingCrawl.windowedMetrics(stream).writeStream
+      .outputMode("append")
+      .format("memory").queryName("win_metrics")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    // append mode only emits closed windows; drop a later batch to advance
+    // the watermark past the first windows
+    spark.createDataset(mkPages(5, 99L).map(p =>
+      p.copy(warc_ts = new java.sql.Timestamp(1704067200000L + 48L * 3600000L))))
+      .write.mode("append").parquet(s"$dir/batch0")
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("win_metrics")
+      .select($"window_start", $"lang", $"n_pages", $"text_chars")
+    val expected = all
+      .groupBy(window($"warc_ts", "1 hour"), $"lang")
+      .agg(count(lit(1)).as("n_pages"), sum(length($"text")).as("text_chars"))
+      .select($"window.start".as("window_start"), $"lang", $"n_pages", $"text_chars")
+    // every closed window the stream emitted must match the batch value
+    val mismatch = streamed.join(expected,
+      Seq("window_start", "lang", "n_pages", "text_chars"), "left_anti")
+    assert(streamed.count() > 0)
+    assert(mismatch.count() === 0)
+  }
+
+  test("stateful politeness gate enforces a per-host budget across micro-batches") {
+    val dir = Files.createTempDirectory("stream-frontier").toString
+    val ckpt = Files.createTempDirectory("stream-fckpt").toString
+    def entries(seed: Long, n: Int): Seq[FrontierEntry] =
+      (0 until n).map(i => CrawlRound.entryFor(
+        SyntheticWeb.urlFor(Hashes.mix(seed, i.toLong)), 5, 0L, 0))
+    spark.createDataset(entries(2L, 300)).write.parquet(s"$dir/b0")
+
+    val stream = spark.readStream
+      .schema(spark.createDataset(entries(2L, 1)).schema)
+      .parquet(s"$dir/b0").as[FrontierEntry]
+    val q = StreamingCrawl.politenessGate(stream, budget = 3).writeStream
+      .outputMode("append").format("memory").queryName("gate")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    // second micro-batch: same hosts again — state must keep capping
+    spark.createDataset(entries(3L, 300)).write.mode("append").parquet(s"$dir/b0")
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("gate")
+    val perHost = out.groupBy($"host").count()
+    assert(perHost.filter($"count" > 3).count() === 0)
+    assert(out.groupBy($"host").agg(max($"emitted_rank").as("m"))
+      .filter($"m" > 3).count() === 0)
+    assert(out.count() > 0)
+  }
+}

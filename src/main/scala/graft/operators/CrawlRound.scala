@@ -65,9 +65,15 @@ object CrawlRound {
       .write.parquet(pending.seenDeltaPath)
     spark.emptyDataset[FetchResult].write.parquet(pending.pagesPath)
     spark.emptyDataset[LineageRow].write.parquet(pending.lineagePath)
-    val bf = BloomFilter.create(cfg.bloomExpectedItems, cfg.bloomFpp)
-    seeds.foreach(e => bf.putLong(e.url_hash))
-    pending.writeBloom(bf)
+    if (cfg.filterKind == "cuckoo") {
+      val cf = graft.functions.CuckooFilter.create(cfg.bloomExpectedItems)
+      seeds.foreach(e => cf.put(e.url_hash))
+      pending.writeCuckoo(cf)
+    } else {
+      val bf = BloomFilter.create(cfg.bloomExpectedItems, cfg.bloomFpp)
+      seeds.foreach(e => bf.putLong(e.url_hash))
+      pending.writeBloom(bf)
+    }
     pending.commit(manifestJson(RoundMetrics(-1, 0, 0, 0, 0, 0, 0, 0, 0,
       seeds.size.toLong, seeds.size.toLong, seeds.size.toLong), cfg))
   }
@@ -204,27 +210,44 @@ object CrawlRound {
       .persist()
     val nCand = traced("link-candidates")(cand.count())
 
-    // --- dedup vs URL-seen: bloom route (A3) + exact anti-join (J1) --------
+    // --- dedup vs URL-seen: filter route (A3) + exact anti-join (J1) -------
+    // filter-clear ⇒ definitely new (no false negatives) ⇒ skip the shuffle;
+    // filter-hit ⇒ maybe seen ⇒ exact anti-join. Same contract for bloom
+    // (built-in) and cuckoo (graft TypedImperativeAggregate, deletable).
     val seen = store.loadSeen(k)
-    val trulyNew =
-      (if (cfg.useBloom) {
+    val probeOpt: Option[org.apache.spark.sql.expressions.UserDefinedFunction] =
+      if (!cfg.useBloom) None
+      else if (cfg.filterKind == "cuckoo") {
+        val cf = store.loadCuckoo(k).getOrElse {
+          val c = graft.functions.CuckooFilter.create(cfg.bloomExpectedItems)
+          seen.select($"url").as[String].toLocalIterator()
+            .forEachRemaining(u => c.put(Hashes.xxh64(u)))
+          c
+        }
+        val bc = spark.sparkContext.broadcast(cf)
+        Some(udf((h: Long) => bc.value.mightContain(h)))
+      } else {
         val bf = store.loadBloom(k).getOrElse {
-          // cold path (bloom file lost): rebuild from the exact seen urls
+          // cold path (filter file lost): rebuild from the exact seen urls
           val b = BloomFilter.create(cfg.bloomExpectedItems, cfg.bloomFpp)
           seen.select($"url").as[String].toLocalIterator()
             .forEachRemaining(u => b.putLong(Hashes.xxh64(u)))
           b
         }
         val bfb = spark.sparkContext.broadcast(bf)
-        val mightContain = udf((h: Long) => bfb.value.mightContainLong(h))
-        val suspects = cand.filter(mightContain($"url_hash"))
-        val definitelyNew = cand.filter(!mightContain($"url_hash"))
-        suspects.join(seen.select($"url_hash_hi", $"url_hash_lo"),
+        Some(udf((h: Long) => bfb.value.mightContainLong(h)))
+      }
+    val trulyNew =
+      (probeOpt match {
+        case Some(mightContain) =>
+          val suspects = cand.filter(mightContain($"url_hash"))
+          val definitelyNew = cand.filter(!mightContain($"url_hash"))
+          suspects.join(seen.select($"url_hash_hi", $"url_hash_lo"),
+              Seq("url_hash_hi", "url_hash_lo"), "left_anti")
+            .unionByName(definitelyNew)
+        case None =>
+          cand.join(seen.select($"url_hash_hi", $"url_hash_lo"),
             Seq("url_hash_hi", "url_hash_lo"), "left_anti")
-          .unionByName(definitelyNew)
-      } else {
-        cand.join(seen.select($"url_hash_hi", $"url_hash_lo"),
-          Seq("url_hash_hi", "url_hash_lo"), "left_anti")
       }).persist()
     val nNew = traced("seen-dedup")(trulyNew.count())
 
@@ -243,23 +266,40 @@ object CrawlRound {
     // --- commit snapshot k+1 ------------------------------------------------
     val pending = store.begin(k + 1)
     traced("write-frontier")(orderedFrontierWrite(nextFrontier, pending.frontierPath))
-    traced("write-seen")(trulyNew.select($"url_hash_hi", $"url_hash_lo", $"url",
-        lit(k + 1).as("first_seen_round")).as[SeenUrl]
-      .write.parquet(pending.seenDeltaPath))
+    val newSeen = trulyNew.select($"url_hash_hi", $"url_hash_lo", $"url",
+      lit(k + 1).as("first_seen_round")).as[SeenUrl]
+    traced("write-seen")(newSeen.write.parquet(pending.seenDeltaPath))
+    // periodic compaction: materialize the whole seen set hash-partitioned,
+    // so loadSeen reads one clustered base + a few deltas (SURVEY.md §4.2)
+    if (cfg.compactSeenEvery > 0 && (k + 1) % cfg.compactSeenEvery == 0)
+      traced("compact-seen")(seen.unionByName(newSeen)
+        .repartition(math.max(shufflePartitions, 1), $"url_hash_hi")
+        .write.parquet(pending.seenFullPath))
     traced("write-pages")(fetched.write.parquet(pending.pagesPath))
     traced("write-lineage")(lineageOf(spark, fetched, k).write.parquet(pending.lineagePath))
 
-    // A3 bloom lifecycle: merge this round's new hashes into the running filter.
-    // Coalesce before the aggregate: each input partition produces a partial
-    // filter of the FULL bit-array size, so fan-in = serialized megabytes.
-    val prevBloom = store.loadBloom(k)
-      .getOrElse(BloomFilter.create(cfg.bloomExpectedItems, cfg.bloomFpp))
-    // same (expectedItems, fpp) as the persistent filter — mergeInPlace
-    // requires identical bit-array sizes
-    val deltaBloom = traced("bloom-build")(trulyNew.select($"url_hash").coalesce(4)
-      .stat.bloomFilter("url_hash", cfg.bloomExpectedItems, cfg.bloomFpp))
-    prevBloom.mergeInPlace(deltaBloom)
-    pending.writeBloom(prevBloom)
+    // A3 filter lifecycle: merge this round's new hashes into the running
+    // filter. Coalesce before the aggregate: each input partition produces a
+    // partial filter of the FULL table size, so fan-in = serialized megabytes.
+    if (cfg.filterKind == "cuckoo") {
+      val prev = store.loadCuckoo(k)
+        .getOrElse(graft.functions.CuckooFilter.create(cfg.bloomExpectedItems))
+      val deltaBytes = traced("cuckoo-build")(trulyNew.select($"url_hash").coalesce(4)
+        .select(org.apache.spark.sql.graftexpr.CuckooAgg($"url_hash",
+          cfg.bloomExpectedItems).as("cf"))
+        .head().getAs[Array[Byte]](0))
+      prev.mergeInPlace(graft.functions.CuckooFilter.deserialize(deltaBytes))
+      pending.writeCuckoo(prev)
+    } else {
+      val prevBloom = store.loadBloom(k)
+        .getOrElse(BloomFilter.create(cfg.bloomExpectedItems, cfg.bloomFpp))
+      // same (expectedItems, fpp) as the persistent filter — mergeInPlace
+      // requires identical bit-array sizes
+      val deltaBloom = traced("bloom-build")(trulyNew.select($"url_hash").coalesce(4)
+        .stat.bloomFilter("url_hash", cfg.bloomExpectedItems, cfg.bloomFpp))
+      prevBloom.mergeInPlace(deltaBloom)
+      pending.writeBloom(prevBloom)
+    }
 
     // deferred / frontier / seen sizes follow arithmetically — no extra jobs:
     // next_frontier = prev − due + deferred + new, deferred = allowed − gated

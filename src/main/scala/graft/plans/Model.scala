@@ -125,7 +125,14 @@ object Model {
       baseTs: Long = 1704067200000L, // 2024-01-01T00:00:00Z
       hotHostThreshold: Int = 100000,
       saltBuckets: Int = 16,
+      // every k-th snapshot also writes the full URL-seen set repartitioned
+      // by hash (compaction) so reads stay O(1 base + few deltas)
+      compactSeenEvery: Int = 8,
       useBloom: Boolean = true,
+      // "bloom" (built-in BloomFilter) or "cuckoo" (graft CuckooFilter —
+      // deletable, custom TypedImperativeAggregate); useBloom=false → exact
+      // anti-join only. Both route identically: filter-clear ⇒ definitely new.
+      filterKind: String = "bloom",
       bloomExpectedItems: Long = 1L << 20,
       bloomFpp: Double = 0.01)
 

@@ -50,16 +50,27 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
 
   def frontierPath(k: Int): String = snapDir(k).resolve("frontier").toString
   def seenDeltaPath(k: Int): String = snapDir(k).resolve("seen_delta").toString
+  def seenFullPath(k: Int): String = snapDir(k).resolve("seen_full").toString
   def pagesPath(k: Int): String = snapDir(k).resolve("pages").toString
   def lineagePath(k: Int): String = snapDir(k).resolve("lineage").toString
 
   def loadFrontier(k: Int): Dataset[FrontierEntry] =
     spark.read.parquet(frontierPath(k)).as[FrontierEntry]
 
-  /** Exact cumulative URL-seen set at snapshot k = union of all deltas ≤ k.
-    * One multi-path parquet scan; Spark unions the files without a shuffle. */
+  /** Exact cumulative URL-seen set at snapshot k.
+    *
+    * Layout: every snapshot appends a `seen_delta`; every `compactEvery`-th
+    * round ALSO writes `seen_full` — the whole set re-partitioned by
+    * `url_hash_hi` (SURVEY.md §4.2 bucketed layout). The read is therefore
+    * the latest full base ≤ k plus the few deltas after it, not k small
+    * delta dirs — at 10^10 URLs / hundreds of rounds the delta-only layout
+    * would degenerate into a many-small-files scan and an unclustered
+    * anti-join probe side. */
   def loadSeen(k: Int): Dataset[SeenUrl] = {
-    val paths = (0 to k).map(seenDeltaPath).filter(p => Files.exists(Paths.get(p)))
+    val base = (k to 0 by -1).find(i => Files.exists(Paths.get(seenFullPath(i))))
+    val paths = base.map(b => seenFullPath(b) +:
+        (b + 1 to k).map(seenDeltaPath).filter(p => Files.exists(Paths.get(p))))
+      .getOrElse((0 to k).map(seenDeltaPath).filter(p => Files.exists(Paths.get(p))))
     spark.read.parquet(paths: _*).as[SeenUrl]
   }
 
@@ -86,6 +97,13 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     }
   }
 
+  /** Cumulative URL-seen cuckoo filter (the deletable alternative). */
+  def loadCuckoo(k: Int): Option[graft.functions.CuckooFilter] = {
+    val p = snapDir(k).resolve("cuckoo.bin")
+    if (!Files.exists(p)) None
+    else Some(graft.functions.CuckooFilter.deserialize(Files.readAllBytes(p)))
+  }
+
   def manifest(k: Int): Option[String] = {
     val p = snapDir(k).resolve("manifest.json")
     if (Files.exists(p)) Some(Files.readString(p)) else None
@@ -103,6 +121,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
 
     def frontierPath: String = dir.resolve("frontier").toString
     def seenDeltaPath: String = dir.resolve("seen_delta").toString
+    def seenFullPath: String = dir.resolve("seen_full").toString
     def pagesPath: String = dir.resolve("pages").toString
     def lineagePath: String = dir.resolve("lineage").toString
 
@@ -110,6 +129,9 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       val out = Files.newOutputStream(dir.resolve("bloom.bin"))
       try bf.writeTo(out) finally out.close()
     }
+
+    def writeCuckoo(cf: graft.functions.CuckooFilter): Unit =
+      Files.write(dir.resolve("cuckoo.bin"), cf.serialized)
 
     /** Step 2–4 of the protocol. `manifestJson` must already be deterministic
       * (no wall-clock fields) so identical runs byte-compare (SURVEY.md §5.4). */

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.core.Hashes
+
+class CuckooFilterSpec extends AnyFunSuite {
+
+  private def keys(seed: Long, n: Int): Seq[Long] =
+    (0 until n).map(i => Hashes.mix(seed, i.toLong))
+
+  test("zero false negatives over the whole inserted set") {
+    val cf = CuckooFilter.create(20000)
+    val ks = keys(1L, 10000)
+    ks.foreach(k => assert(cf.put(k), s"insert failed at load ${cf.occupied}"))
+    ks.foreach(k => assert(cf.mightContain(k)))
+  }
+
+  test("false positive rate is small") {
+    val cf = CuckooFilter.create(20000)
+    keys(2L, 10000).foreach(cf.put)
+    val probes = keys(999L, 20000)
+    val fp = probes.count(cf.mightContain)
+    // 16-bit fingerprints, 2 buckets × 4 slots: fpp ≈ 8/2^16 ≈ 0.00012
+    assert(fp < 40, s"false positives: $fp / 20000")
+  }
+
+  test("delete works and bloom-style merge preserves membership") {
+    val cf = CuckooFilter.create(4096)
+    val ks = keys(3L, 1000)
+    ks.foreach(cf.put)
+    ks.take(100).foreach(k => assert(cf.remove(k)))
+    // removed keys gone (fingerprints are unique enough at this load)
+    val stillThere = ks.take(100).count(cf.mightContain)
+    assert(stillThere < 5, s"$stillThere of 100 removed keys still present")
+    ks.drop(100).foreach(k => assert(cf.mightContain(k)))
+
+    val a = CuckooFilter.create(8192)
+    val b = CuckooFilter.create(8192)
+    keys(4L, 2000).foreach(a.put)
+    keys(5L, 2000).foreach(b.put)
+    assert(a.mergeInPlace(b) === 0L)
+    (keys(4L, 2000) ++ keys(5L, 2000)).foreach(k => assert(a.mightContain(k)))
+  }
+
+  test("serialization round-trips") {
+    val cf = CuckooFilter.create(2048)
+    val ks = keys(6L, 500)
+    ks.foreach(cf.put)
+    val back = CuckooFilter.deserialize(cf.serialized)
+    assert(back.numBuckets === cf.numBuckets)
+    ks.foreach(k => assert(back.mightContain(k)))
+  }
+
+  test("cuckoo_agg aggregate: distributed build equals local build semantics") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val ks = keys(7L, 5000)
+    val bytes = ks.toDF("h").repartition(8)
+      .select(org.apache.spark.sql.graftexpr.CuckooAgg($"h", 20000L).as("cf"))
+      .head().getAs[Array[Byte]](0)
+    val cf = CuckooFilter.deserialize(bytes)
+    ks.foreach(k => assert(cf.mightContain(k), s"lost $k"))
+    val fp = keys(888L, 10000).count(cf.mightContain)
+    assert(fp < 30, s"fp=$fp")
+  }
+}

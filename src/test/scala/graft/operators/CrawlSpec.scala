@@ -136,6 +136,17 @@ class CrawlSpec extends AnyFunSuite {
     assert(o1 === o2)
   }
 
+  test("cuckoo seen-filter produces the identical crawl to bloom and exact") {
+    val s = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-cuckoo"))
+    Crawler.run(spark, s, seeds, 3, cfg.copy(filterKind = "cuckoo"))
+    val sB = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-bloom2"))
+    Crawler.run(spark, sB, seeds, 3, cfg)
+    assert(Crawler.seenDigest(spark, s) === Crawler.seenDigest(spark, sB))
+    val o1 = Crawler.ordering(spark, s).as[(Int, Long, String)].collect().toSeq
+    val o2 = Crawler.ordering(spark, sB).as[(Int, Long, String)].collect().toSeq
+    assert(o1 === o2)
+  }
+
   test("hot-host salting: two-phase top-k equals the unsalted politeness gate") {
     // force everything hot: threshold 1 → every host goes through phase 1
     val salted = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-salt"))
@@ -181,6 +192,27 @@ class CrawlSpec extends AnyFunSuite {
     val got = Crawler.textShas(spark, store).as[(String, String)].collect()
       .sortBy(_._1).map { case (u, s) => s"$u,$s" }
     assert("url,sha256\n" + got.mkString("\n") + "\n" === golden("text_sha256.csv"))
+  }
+
+  test("seen compaction: compacted layout reproduces the identical crawl and seen set") {
+    val cA = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-compact"))
+    Crawler.run(spark, cA, seeds, 4, cfg.copy(compactSeenEvery = 2))
+    // a seen_full base exists and is read instead of all deltas
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cA.seenFullPath(4))))
+    val cB = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-nocompact"))
+    Crawler.run(spark, cB, seeds, 4, cfg.copy(compactSeenEvery = 0))
+    assert(Crawler.seenDigest(spark, cA) === Crawler.seenDigest(spark, cB))
+    val o1 = Crawler.ordering(spark, cA).as[(Int, Long, String)].collect().toSeq
+    val o2 = Crawler.ordering(spark, cB).as[(Int, Long, String)].collect().toSeq
+    assert(o1 === o2)
+    // resume on top of a compacted store stays consistent
+    Crawler.run(spark, new SnapshotStore(spark, cA.root), seeds, 5,
+      cfg.copy(compactSeenEvery = 2))
+    Crawler.run(spark, new SnapshotStore(spark, cB.root), seeds, 5,
+      cfg.copy(compactSeenEvery = 0))
+    assert(Crawler.seenDigest(spark, new SnapshotStore(spark, cA.root))
+      === Crawler.seenDigest(spark, new SnapshotStore(spark, cB.root)))
   }
 
   test("404 pages carry no text and no links but are marked seen") {

@@ -207,6 +207,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))),
 
+    "q_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ms = unix_millis(col("ts").cast("timestamp_ltz"))
+      t(s, d, "events")
+        .withColumn("gap_ms", ms - lag(ms, 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap_ms").isNull || col("gap_ms") > 1800000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("event_id"), col("session_id"))
+    }),
+
+    "q_cube" -> ((s, d) =>
+      t(s, d, "documents").cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))),
+
+    "q_string_funcs" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        upper(substring(col("text"), 1, 20)).as("head_upper"),
+        concat(col("lang"), lit("-"), col("source")).as("tag"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("padded"))),
+
+    "q_median" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        count(lit(1)).as("n"))),
+
     // ---- training-data pipeline ops (hash-based → rows-only checks) --------
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minHashReport(t(s, d, "documents"))),
@@ -331,6 +358,30 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents) WHERE rn <= 2""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events)""".stripMargin,
+    "q_cube" ->
+      """SELECT lang, source, count(*) AS n_docs
+        |FROM documents GROUP BY CUBE(lang, source)""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT doc_id, upper(substring(text, 1, 20)) AS head_upper,
+        |  concat(lang, '-', source) AS tag,
+        |  lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded
+        |FROM documents""".stripMargin,
+    "q_median" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_date_trunc" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents

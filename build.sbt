@@ -32,4 +32,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // speed at 8g; 80g triggered giant-heap G1 pauses — 32g is the sweet spot
   // for this 125g box).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").toSeq)

@@ -98,7 +98,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchUrls = sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "50000").toLong
+    // 30k seeds → ~1M URLs fetched+deduped in the timed round; keeps a full
+    // 2-attempt bench under ~6 min even in starved host windows
+    val benchUrls = sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "30000").toLong
 
     // part 1: headline queries
     val spark = newSession(cpus)

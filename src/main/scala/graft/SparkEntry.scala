@@ -82,6 +82,17 @@ object SparkEntry {
       val st = crawlStore(s)
       st.loadLineage(st.head.getOrElse(0)).toDF()
     }),
+    "crawl_pagerank" -> ((s, _) => {
+      val st = crawlStore(s)
+      val e = operators.LinkGraph.edges(st.loadAllPages(st.head.getOrElse(0)))
+      operators.LinkGraph.pageRank(e, iterations = 5)
+        .orderBy(col("rank").desc, col("url")).limit(100)
+    }),
+    "crawl_host_graph" -> ((s, _) => {
+      val st = crawlStore(s)
+      operators.LinkGraph.hostEdges(
+        operators.LinkGraph.edges(st.loadAllPages(st.head.getOrElse(0))))
+    }),
 
     // ---- relational operator inventory (oracle-checked vs DuckDB) ----------
     "q_scan_filter" -> ((s, d) =>

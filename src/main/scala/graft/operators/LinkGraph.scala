@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.plans.Model.FetchResult
+
+/** Link-graph analytics over crawled pages: the graph exists implicitly as
+  * (page → outlinks) rows (SURVEY.md §1.1); these operators materialize it
+  * and run the standard frontier-prioritization signals: degrees and
+  * PageRank (Brin & Page 1998, public) — pure DataFrame iteration, no graph
+  * engine. Scale notes: edges are hash-shuffled by vertex; each PageRank
+  * iteration is one join + one aggregation; intermediate ranks persist and
+  * the previous iteration unpersists, so lineage stays O(1) per iteration.
+  */
+object LinkGraph {
+
+  /** Edge list (src, dst) of the crawled web, canonical URLs both sides. */
+  def edges(pages: Dataset[FetchResult]): DataFrame =
+    pages.filter(col("status") === 200)
+      .select(col("url").as("src"), explode(col("links")).as("dst"))
+      .distinct()
+
+  /** Per-URL degree table: url, out_degree, in_degree (0 when absent). */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("url"))
+      .agg(count(lit(1)).as("out_degree"))
+    val in = edges.groupBy(col("dst").as("url"))
+      .agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("url"), "full_outer")
+      .na.fill(0L, Seq("out_degree", "in_degree"))
+  }
+
+  /** Host-level graph: distinct (src_host, dst_host) edges with multiplicity
+    * — the politeness/frontier-budget signal at host granularity. */
+  def hostEdges(edges: DataFrame): DataFrame = {
+    val hostOf = udf((u: String) => graft.core.UrlCanon.hostOf(u))
+    edges.select(hostOf(col("src")).as("src_host"), hostOf(col("dst")).as("dst_host"))
+      .groupBy(col("src_host"), col("dst_host")).agg(count(lit(1)).as("n_links"))
+  }
+
+  /** PageRank with damping d: r = (1-d)/N + d·(Σ r_in/out_deg + dangling/N).
+    * Dangling mass (vertices without outlinks) is redistributed uniformly so
+    * ranks sum to 1 at every iteration. Returns (url, rank). */
+  def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85)
+      : DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val vertices = edges.select(col("src").as("url"))
+      .unionByName(edges.select(col("dst").as("url"))).distinct().persist()
+    val n = vertices.count().toDouble
+    val outDeg = edges.groupBy(col("src").as("url"))
+      .agg(count(lit(1)).as("out_degree")).persist()
+
+    // localCheckpoint (not just persist): iterative self-joins nest the
+    // logical plan once per iteration — analysis/planning cost explodes
+    // exponentially without lineage truncation. On a cluster with executor
+    // churn, use reliable checkpointing (sc.setCheckpointDir) instead.
+    var ranks = vertices.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val withDeg = ranks.join(outDeg, Seq("url"), "left")
+      // mass of dangling vertices (no outlinks) spreads uniformly
+      val dangling = withDeg.filter(col("out_degree").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).as[Double].head()
+      val contribs = edges
+        .join(withDeg.filter(col("out_degree").isNotNull)
+          .select(col("url").as("src"), (col("rank") / col("out_degree")).as("c")),
+          Seq("src"))
+        .groupBy(col("dst").as("url"))
+        .agg(sum(col("c")).as("in_mass"))
+      val next = vertices.join(contribs, Seq("url"), "left")
+        .select(col("url"),
+          (lit((1 - damping) / n) +
+            lit(damping) * (coalesce(col("in_mass"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"))
+        .localCheckpoint(true)
+      ranks = next
+      i += 1
+    }
+    vertices.unpersist(blocking = false)
+    outDeg.unpersist(blocking = false)
+    ranks
+  }
+}

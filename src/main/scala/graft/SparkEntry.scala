@@ -82,6 +82,12 @@ object SparkEntry {
       val st = crawlStore(s)
       st.loadLineage(st.head.getOrElse(0)).toDF()
     }),
+    "crawl_seen_digest" -> ((s, _) => {
+      val st = crawlStore(s)
+      val (n, hsum, hxor) = Crawler.seenDigest(s, st)
+      import s.implicits._
+      Seq((n, hsum, hxor)).toDF("n_seen", "hash_sum", "hash_xor")
+    }),
     "crawl_pagerank" -> ((s, _) => {
       val st = crawlStore(s)
       val e = operators.LinkGraph.edges(st.loadAllPages(st.head.getOrElse(0)))
@@ -217,6 +223,12 @@ object SparkEntry {
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))),
+
+    "q_array_explode" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("w")).as("n_distinct_words"))),
 
     "q_sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -369,6 +381,10 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents) WHERE rn <= 2""".stripMargin,
+    "q_array_explode" ->
+      """SELECT doc_id, count(DISTINCT w) AS n_distinct_words FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY doc_id""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, event_id,
         |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -15,6 +15,7 @@ import graft.sources.SnapshotStore
 object SoakCheck {
   def main(args: Array[String]): Unit = {
     val rounds = args.headOption.getOrElse("8").toInt
+    val filterKind = args.lift(1).getOrElse("bloom")
     val spark = SparkSession.builder().master("local[8]")
       .appName("soak").config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -30,7 +31,8 @@ object SoakCheck {
     }
     rm(java.nio.file.Paths.get(dir))
     val store = new SnapshotStore(spark, dir)
-    val cfg = CrawlConfig(roundCap = 400, compactSeenEvery = 3)
+    val cfg = CrawlConfig(roundCap = 400, compactSeenEvery = 3,
+      filterKind = filterKind)
     Crawler.run(spark, store, SyntheticWeb.seeds(20), rounds, cfg)
 
     var failures = 0

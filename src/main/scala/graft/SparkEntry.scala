@@ -49,16 +49,16 @@ object SparkEntry {
     * the full engine in one plan. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
     val st = crawlStore(spark)
-    val langIdUdf = udf((s: String) => TextAnalysis.langId(s))
-    val qualityUdf = udf((s: String) => TextAnalysis.quality(s).score)
-    val tokUdf = udf((s: String) => TextAnalysis.tokens(s).length)
-    val fpUdf = udf((s: String) => TextAnalysis.fingerprint(s))
+    // one fused struct-returning UDF: the text is tokenized/parsed once per
+    // row instead of once per metric (TextAnalysis.profile)
+    val profUdf = udf((s: String) => TextAnalysis.profile(s))
     st.loadAllPages(st.head.getOrElse(0)).filter(col("status") === 200)
+      .withColumn("p", profUdf(col("text")))
       .select(col("url"), col("round"), col("seq"), col("text_sha256"),
-        langIdUdf(col("text")).as("lang_pred"),
-        qualityUdf(col("text")).as("quality"),
-        tokUdf(col("text")).as("n_tokens"),
-        fpUdf(col("text")).as("fingerprint"))
+        col("p.lang_pred").as("lang_pred"),
+        col("p.quality").as("quality"),
+        col("p.n_tokens").as("n_tokens"),
+        col("p.fingerprint").as("fingerprint"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -139,9 +139,13 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("running_cents"))
     }),
 
+    // customers with no order since mid-2000 — non-degenerate at every SF
+    // (an unfiltered variant matches 0 rows: every customer has some order)
     "q_anti_join" -> ((s, d) =>
       t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp_ntz")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))),
 
     "q_semi_join" -> ((s, d) =>
@@ -264,7 +268,10 @@ object SparkEntry {
       Dedup.simHashIndex(t(s, d, "documents"))),
     "q_ann_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      // cosine quantized to 6dp before ranking → deterministic across engines
+      // (DuckDB list_cosine_similarity oracle); ties break on neighbor_id
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        roundCosineTo = 6)
     }),
     "q_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -285,8 +292,17 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         fpUdf(col("text")).as("fingerprint"), shUdf(col("text")).as("simhash"))
     }),
-    "q_multimodal_features" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.synthesize(t(s, d, "documents"))).toDF()),
+    // features projected to scalar f0..f7 columns: the driver's pandas-based
+    // sorted compare cannot sort on an array<double> column
+    "q_multimodal_features" -> ((s, d) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.synthesize(t(s, d, "documents"))).toDF()
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).as(s"f$i"))
+      feats.select(col("media_id") +: col("kind") +:
+        col("byte_len").cast("long").as("byte_len") +:
+        col("content_hash") +: fcols: _*)
+    }),
     "q_multimodal_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.synthesize(t(s, d, "documents")))
         .select(col("media_id"), col("frame_idx"))),
@@ -321,7 +337,8 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2000-06-01')""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
@@ -413,5 +430,22 @@ object SparkEntry {
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders GROUP BY 1""".stripMargin,
+    // cosine quantized to 6dp on BOTH sides before ranking (see q_ann_brute
+    // query): double accumulation order differs across engines in the last
+    // ulps; at 6dp the values and therefore the (cosine DESC, neighbor_id)
+    // rank order agree exactly
+    "q_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings c, q WHERE c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
   )
 }

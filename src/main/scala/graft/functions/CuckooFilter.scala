@@ -24,6 +24,15 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
 
   import CuckooFilter._
 
+  /** Count of keys that could NOT be placed (filter over-full). A non-zero
+    * value means `mightContain` can return false negatives for the dropped
+    * keys — the "filter-clear ⇒ definitely new" contract is void and the
+    * caller must rebuild at higher capacity (CrawlRound does). Carried through
+    * serialization and accumulated by merge so a drop anywhere in a
+    * distributed build is visible in the final filter. */
+  private var failedCount: Long = 0L
+  def failedInserts: Long = failedCount
+
   private def bucketOf(h: Long): Int = (mixH(h) & (numBuckets - 1)).toInt
   private def altBucket(i: Int, fp: Short): Int =
     (i ^ (mixH(fp.toLong & 0xffffL) & (numBuckets - 1))).toInt
@@ -70,6 +79,7 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
       if (tryInsertAt(i, fp)) return true
       kicks += 1
     }
+    failedCount += 1
     false
   }
 
@@ -103,13 +113,14 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
     * fingerprints. Returns count of entries that could not be placed. */
   def mergeInPlace(other: CuckooFilter): Long = {
     require(other.numBuckets == numBuckets, "cuckoo merge requires same shape")
+    failedCount += other.failedCount // drops already suffered by the other side
     var failed = 0L
     var i = 0
     while (i < other.numBuckets) {
       var s = 0
       while (s < SlotsPerBucket) {
         val fp = other.table(other.slot(i, s))
-        if (fp != 0 && !putFp(i, fp)) failed += 1
+        if (fp != 0 && !putFp(i, fp)) failed += 1 // putFp bumps failedCount
         s += 1
       }
       i += 1
@@ -124,9 +135,10 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
   }
 
   def serialized: Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + table.length * 2)
+    val bb = ByteBuffer.allocate(4 + table.length * 2 + 8)
     bb.putInt(numBuckets)
     table.foreach(bb.putShort)
+    bb.putLong(failedCount)
     bb.array()
   }
 }
@@ -145,12 +157,24 @@ object CuckooFilter {
     new CuckooFilter(n, new Array[Short](n * SlotsPerBucket))
   }
 
+  /** Exact-shape constructor: mergeInPlace requires identical numBuckets, so
+    * a delta built against an existing (possibly regrown) filter must pin its
+    * bucket count rather than re-derive it from expectedItems. */
+  def createWithBuckets(numBuckets: Int): CuckooFilter = {
+    require(numBuckets >= 4 && Integer.bitCount(numBuckets) == 1,
+      s"numBuckets must be a power of two >= 4, got $numBuckets")
+    new CuckooFilter(numBuckets, new Array[Short](numBuckets * SlotsPerBucket))
+  }
+
   def deserialize(bytes: Array[Byte]): CuckooFilter = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val table = new Array[Short](n * SlotsPerBucket)
     var i = 0
     while (i < table.length) { table(i) = bb.getShort; i += 1 }
-    new CuckooFilter(n, table)
+    val cf = new CuckooFilter(n, table)
+    // trailing failed-insert counter; absent in pre-counter snapshots
+    if (bb.remaining() >= 8) cf.failedCount = bb.getLong
+    cf
   }
 }

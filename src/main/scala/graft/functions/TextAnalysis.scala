@@ -166,7 +166,12 @@ object TextAnalysis {
 
   /** Heuristic language ID: CJK codepoint share decides "zh"; otherwise the
     * stopword table with the highest hit rate wins; ties and no-hits → "en". */
-  def langId(text: String): String = {
+  def langId(text: String): String = langIdWith(text, None)
+
+  /** langId with an optional pre-computed full-text token array to reuse —
+    * valid only when the text fits the 4000-char sniff window (the fused
+    * `profile` path); semantics identical to `langId`. */
+  private def langIdWith(text: String, fullTokens: Option[Array[String]]): String = {
     if (text.isEmpty) return "en"
     var cjk = 0; var i = 0
     val limit = math.min(text.length, 4000)
@@ -176,7 +181,8 @@ object TextAnalysis {
       i += Character.charCount(c)
     }
     if (cjk * 10 > limit) return "zh"
-    val tk = tokens(text.substring(0, limit))
+    val tk = fullTokens.filter(_ => text.length <= 4000)
+      .getOrElse(tokens(text.substring(0, limit)))
     if (tk.isEmpty) return "en"
     val best = StopWords.toSeq.sortBy(_._1).map { case (lang, sw) =>
       (lang, tk.count(sw.contains))
@@ -194,8 +200,9 @@ object TextAnalysis {
   /** Deterministic document quality heuristics (length / punctuation /
     * stopword mix — the standard web-corpus filters, e.g. C4/Gopher rules,
     * public). `score` ∈ [0,1], higher = keep. */
-  def quality(text: String): Quality = {
-    val tk = tokens(text)
+  def quality(text: String): Quality = qualityWith(text, tokens(text))
+
+  private def qualityWith(text: String, tk: Array[String]): Quality = {
     val n = tk.length
     if (n == 0) return Quality(0, 0, 0.0, 0.0, 0.0, 0.0, 0.0)
     val chars = text.length
@@ -218,5 +225,24 @@ object TextAnalysis {
         (if (meanLen >= 2.5 && meanLen <= 12.0) 0.3 else 0.0) +
         (math.min(alphaR / 0.6, 1.0) * 0.3)
     Quality(n, bpeTokenCount(text), meanLen, punctR, alphaR, stopR, score)
+  }
+
+  // --- fused flagship kernel ---------------------------------------------------
+
+  final case class TextProfile(
+      lang_pred: String, quality: Double, n_tokens: Int, fingerprint: Long)
+
+  /** The flagship text stack (lang-ID + quality score + token count +
+    * fingerprint) in ONE kernel: the text is tokenized once and shared across
+    * lang-ID and quality instead of four separate UDFs each re-parsing the
+    * row. Outputs are identical to calling `langId` / `quality(_).score` /
+    * `tokens(_).length` / `fingerprint` separately (property-tested). */
+  def profile(text: String): TextProfile = {
+    val tk = tokens(text)
+    TextProfile(
+      langIdWith(text, Some(tk)),
+      qualityWith(text, tk).score,
+      tk.length,
+      fingerprint(text))
   }
 }

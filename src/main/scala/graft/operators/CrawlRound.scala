@@ -44,6 +44,41 @@ object CrawlRound {
 
   private def childPriority(parent: Int): Int = math.max(parent - 1, 0)
 
+  /** xxh64 of a url, computed executor-side — the URL-seen filter key. */
+  private val xxh64OfUrl = udf((u: String) => Hashes.xxh64(u))
+
+  /** Distributed cuckoo build over any DataFrame with a `url` column (the
+    * cold-path / regrow rebuild — the seen set never passes through the
+    * driver). Doubles capacity until no insert was dropped. */
+  private[operators] def cuckooOfUrls(urls: org.apache.spark.sql.DataFrame,
+      expectedItems: Long): graft.functions.CuckooFilter = {
+    var cap = math.max(expectedItems, 1024L)
+    var cf: graft.functions.CuckooFilter = null
+    while (cf == null || cf.failedInserts > 0) {
+      val bytes = urls.select(xxh64OfUrl(col("url")).as("h")).coalesce(4)
+        .select(org.apache.spark.sql.graftexpr.CuckooAgg(col("h"), cap).as("cf"))
+        .head().getAs[Array[Byte]](0)
+      cf = graft.functions.CuckooFilter.deserialize(bytes)
+      cap *= 2
+    }
+    cf
+  }
+
+  /** Distributed bloom build over any DataFrame with a `url` column. */
+  private[operators] def bloomOfUrls(urls: org.apache.spark.sql.DataFrame,
+      expectedItems: Long, fpp: Double): BloomFilter =
+    urls.select(xxh64OfUrl(col("url")).as("h")).coalesce(4)
+      .stat.bloomFilter("h", expectedItems, fpp)
+
+  private def bloomBytes(bf: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  private def bloomOf(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
   /** Build a FrontierEntry from a canonical URL (seeds + new links). */
   def entryFor(url: String, priority: Int, nextFetchTs: Long, round: Int): FrontierEntry = {
     val (hi, lo) = Hashes.murmur128(url)
@@ -67,7 +102,8 @@ object CrawlRound {
     spark.emptyDataset[LineageRow].write.parquet(pending.lineagePath)
     if (cfg.filterKind == "cuckoo") {
       val cf = graft.functions.CuckooFilter.create(cfg.bloomExpectedItems)
-      seeds.foreach(e => cf.put(e.url_hash))
+      seeds.foreach(e => require(cf.put(e.url_hash),
+        "cuckoo filter over capacity at init — raise bloomExpectedItems"))
       pending.writeCuckoo(cf)
     } else {
       val bf = BloomFilter.create(cfg.bloomExpectedItems, cfg.bloomFpp)
@@ -214,27 +250,32 @@ object CrawlRound {
     // filter-clear ⇒ definitely new (no false negatives) ⇒ skip the shuffle;
     // filter-hit ⇒ maybe seen ⇒ exact anti-join. Same contract for bloom
     // (built-in) and cuckoo (graft TypedImperativeAggregate, deletable).
+    //
+    // Cumulative filter: loaded from snapshot k, or — cold path, filter file
+    // lost — rebuilt DISTRIBUTED from the exact seen set (xxh64(url)
+    // recomputed executor-side, aggregated via stat.bloomFilter / CuckooAgg).
+    // Never streamed through the driver: at the 10^10-URL design point a
+    // driver-side iteration of the seen set would bottleneck exactly the
+    // recovery path that matters. Kept as BYTES so the probe broadcast and
+    // the persist-path merge each deserialize a private instance (merge
+    // mutates; the broadcast copy must stay immutable).
     val seen = store.loadSeen(k)
+    lazy val prevCuckooBytes: Array[Byte] =
+      store.loadCuckoo(k).map(_.serialized).getOrElse(
+        traced("cuckoo-cold-rebuild")(
+          cuckooOfUrls(seen.toDF(), cfg.bloomExpectedItems).serialized))
+    lazy val prevBloomBytes: Array[Byte] =
+      store.loadBloom(k).map(bloomBytes).getOrElse(
+        traced("bloom-cold-rebuild")(bloomBytes(
+          bloomOfUrls(seen.toDF(), cfg.bloomExpectedItems, cfg.bloomFpp))))
     val probeOpt: Option[org.apache.spark.sql.expressions.UserDefinedFunction] =
       if (!cfg.useBloom) None
       else if (cfg.filterKind == "cuckoo") {
-        val cf = store.loadCuckoo(k).getOrElse {
-          val c = graft.functions.CuckooFilter.create(cfg.bloomExpectedItems)
-          seen.select($"url").as[String].toLocalIterator()
-            .forEachRemaining(u => c.put(Hashes.xxh64(u)))
-          c
-        }
-        val bc = spark.sparkContext.broadcast(cf)
+        val bc = spark.sparkContext.broadcast(
+          graft.functions.CuckooFilter.deserialize(prevCuckooBytes))
         Some(udf((h: Long) => bc.value.mightContain(h)))
       } else {
-        val bf = store.loadBloom(k).getOrElse {
-          // cold path (filter file lost): rebuild from the exact seen urls
-          val b = BloomFilter.create(cfg.bloomExpectedItems, cfg.bloomFpp)
-          seen.select($"url").as[String].toLocalIterator()
-            .forEachRemaining(u => b.putLong(Hashes.xxh64(u)))
-          b
-        }
-        val bfb = spark.sparkContext.broadcast(bf)
+        val bfb = spark.sparkContext.broadcast(bloomOf(prevBloomBytes))
         Some(udf((h: Long) => bfb.value.mightContainLong(h)))
       }
     val trulyNew =
@@ -279,24 +320,37 @@ object CrawlRound {
     traced("write-lineage")(lineageOf(spark, fetched, k).write.parquet(pending.lineagePath))
 
     // A3 filter lifecycle: merge this round's new hashes into the running
-    // filter. Coalesce before the aggregate: each input partition produces a
-    // partial filter of the FULL table size, so fan-in = serialized megabytes.
+    // filter (a fresh instance off prev*Bytes — never the broadcast probe
+    // copy, which merge would mutate). Coalesce before the aggregate: each
+    // input partition produces a partial filter of the FULL table size, so
+    // fan-in = serialized megabytes.
     if (cfg.filterKind == "cuckoo") {
-      val prev = store.loadCuckoo(k)
-        .getOrElse(graft.functions.CuckooFilter.create(cfg.bloomExpectedItems))
+      val merged = graft.functions.CuckooFilter.deserialize(prevCuckooBytes)
+      // delta shape is pinned to the (possibly regrown) prev filter's bucket
+      // count — cuckoo merge requires identical shapes
       val deltaBytes = traced("cuckoo-build")(trulyNew.select($"url_hash").coalesce(4)
         .select(org.apache.spark.sql.graftexpr.CuckooAgg($"url_hash",
-          cfg.bloomExpectedItems).as("cf"))
+          cfg.bloomExpectedItems, merged.numBuckets).as("cf"))
         .head().getAs[Array[Byte]](0))
-      prev.mergeInPlace(graft.functions.CuckooFilter.deserialize(deltaBytes))
-      pending.writeCuckoo(prev)
+      merged.mergeInPlace(graft.functions.CuckooFilter.deserialize(deltaBytes))
+      // exactness contract: a cuckoo filter over capacity DROPS keys, which
+      // would turn "filter-clear ⇒ definitely new" into silent re-crawls
+      // (bloom degrades safely via fpp; cuckoo fails unsafely). Any drop —
+      // in the delta build, the prev filter, or this merge — triggers a
+      // distributed rebuild from the exact seen ∪ new set at doubled
+      // capacity (cuckooOfUrls doubles until clean).
+      val cf =
+        if (merged.failedInserts == 0) merged
+        else traced("cuckoo-regrow")(cuckooOfUrls(
+          seen.toDF().unionByName(newSeen.toDF()),
+          math.max(cfg.bloomExpectedItems, merged.numBuckets.toLong * 4) * 2))
+      pending.writeCuckoo(cf)
     } else {
-      val prevBloom = store.loadBloom(k)
-        .getOrElse(BloomFilter.create(cfg.bloomExpectedItems, cfg.bloomFpp))
       // same (expectedItems, fpp) as the persistent filter — mergeInPlace
       // requires identical bit-array sizes
       val deltaBloom = traced("bloom-build")(trulyNew.select($"url_hash").coalesce(4)
         .stat.bloomFilter("url_hash", cfg.bloomExpectedItems, cfg.bloomFpp))
+      val prevBloom = bloomOf(prevBloomBytes)
       prevBloom.mergeInPlace(deltaBloom)
       pending.writeBloom(prevBloom)
     }

@@ -14,9 +14,9 @@ import graft.functions.TextAnalysis
   * Scale design: every stage is a hash-keyed shuffle — no cross joins, no
   * driver-side state. MinHash signatures/band keys are computed in one
   * executor-local pass per doc; candidate pairs come from a groupBy on
-  * (band, band_key) buckets whose size is capped (hot buckets are truncated
-  * and logged, the standard LSH skew guard) so one degenerate bucket cannot
-  * produce O(n²) pairs.
+  * (band, band_key) buckets whose size is capped (hot buckets are SILENTLY
+  * truncated — the standard LSH skew guard; `bucketTruncationStats` audits
+  * what the cap drops) so one degenerate bucket cannot produce O(n²) pairs.
   */
 object Dedup {
 
@@ -37,8 +37,6 @@ object Dedup {
     TextAnalysis.minHashSignature(TextAnalysis.shingles(text)))
   private val bandUdf = udf((sig: Seq[Long]) =>
     TextAnalysis.bandKeys(sig.toArray))
-  private val estJacUdf = udf((a: Seq[Long], b: Seq[Long]) =>
-    TextAnalysis.estJaccard(a.toArray, b.toArray))
   private val shinglesUdf = udf((text: String) => TextAnalysis.shingles(text))
   private val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) =>
     TextAnalysis.jaccard(a.toArray, b.toArray))
@@ -66,11 +64,25 @@ object Dedup {
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
+      // codegen'd signature-agreement expression — no array-arg UDF
+      // conversion on the candidate hot path
       .select(col("doc_a"), col("doc_b"),
-        estJacUdf(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        org.apache.spark.sql.graftexpr.SigAgree(col("sig_a"), col("sig_b"))
+          .as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
+
+  /** Audit of the LSH skew guard: buckets over `maxBucket` and the candidate
+    * rows the cap silently drops in `minHashPairs` (one summary row). Run on
+    * demand — the pair query itself stays a single pass with no side job. */
+  def bucketTruncationStats(docs: DataFrame, maxBucket: Int = 64): DataFrame =
+    minHashIndex(docs)
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "band_key")))
+      .groupBy(col("band"), col("band_key")).count()
+      .filter(col("count") > maxBucket)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_hot_buckets"),
+        coalesce(sum(col("count") - maxBucket), lit(0L)).as("n_rows_truncated"))
 
   /** Per-doc near-dup summary (total-row-stable: emits one row per doc even
     * with zero candidates — LEFT join of docs onto their best pair). */

@@ -30,9 +30,16 @@ object FrontierGen {
     spark.emptyDataset[FetchResult].write.parquet(pending.pagesPath)
     spark.emptyDataset[LineageRow].write.parquet(pending.lineagePath)
     // coalesce: each partition yields a partial filter of the full bit-array
-    // size, so aggregate fan-in is serialized megabytes per partition
-    pending.writeBloom(entries.select($"url_hash").coalesce(4).stat
-      .bloomFilter("url_hash", cfg.bloomExpectedItems, cfg.bloomFpp))
+    // size, so aggregate fan-in is serialized megabytes per partition.
+    // Honors cfg.filterKind — a cuckoo-configured crawl must find a cuckoo
+    // file at round 0, or it would pay the cold-path rebuild immediately.
+    if (cfg.filterKind == "cuckoo") {
+      val cf = CrawlRound.cuckooOfUrls(entries.toDF(), cfg.bloomExpectedItems)
+      pending.writeCuckoo(cf)
+    } else {
+      pending.writeBloom(entries.select($"url_hash").coalesce(4).stat
+        .bloomFilter("url_hash", cfg.bloomExpectedItems, cfg.bloomFpp))
+    }
     val nRows = entries.count()
     pending.commit(CrawlRound.manifestJson(
       RoundMetrics(-1, 0, 0, 0, 0, 0, 0, 0, 0, nRows, nRows, nRows), cfg))

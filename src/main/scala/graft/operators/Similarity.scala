@@ -45,14 +45,20 @@ object Similarity {
     * candidates would be the next refinement; at this k the window rank over
     * a query-keyed shuffle is already scale-safe because rows = |corpus|·|Q|
     * is bounded by the broadcast query count. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      roundCosineTo: Int = -1): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
+    val rawCos = cosine(col("q_emb"), col("c_emb"))
+    // roundCosineTo >= 0: quantize BEFORE ranking so the (cosine, neighbor_id)
+    // order is reproducible across engines whose float accumulation differs in
+    // the last ulps (the DuckDB-oracle contract)
+    val cos = if (roundCosineTo >= 0) round(rawCos, roundCosineTo) else rawCos
     val scored = corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cosine", cos)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -152,8 +152,11 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   def begin(k: Int): Pending = new Pending(k)
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(c => deleteRecursively(c))
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(c => deleteRecursively(c))
+      finally s.close() // directory streams hold an fd until closed
+    }
     Files.deleteIfExists(p)
   }
 }

@@ -26,7 +26,10 @@ object SoakCheck {
 
     val dir = "/dev/shm/graft-soak/store"
     def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.list(p).forEach(rm)
+      if (java.nio.file.Files.isDirectory(p)) {
+        val st = java.nio.file.Files.list(p)
+        try st.forEach(rm) finally st.close()
+      }
       java.nio.file.Files.deleteIfExists(p)
     }
     rm(java.nio.file.Paths.get(dir))

@@ -20,6 +20,7 @@ import graft.functions.CuckooFilter
 case class CuckooAgg(
     child: Expression,
     expectedItems: Long,
+    exactBuckets: Int = 0,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[CuckooFilter] with ExpectsInputTypes
@@ -30,8 +31,11 @@ case class CuckooAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "cuckoo_agg"
 
+  // exactBuckets > 0 pins the filter shape (a delta that will be merged into
+  // an existing filter must match its numBuckets exactly)
   override def createAggregationBuffer(): CuckooFilter =
-    CuckooFilter.create(expectedItems)
+    if (exactBuckets > 0) CuckooFilter.createWithBuckets(exactBuckets)
+    else CuckooFilter.create(expectedItems)
 
   override def update(buffer: CuckooFilter, input: InternalRow): CuckooFilter = {
     val v = child.eval(input)
@@ -63,5 +67,11 @@ object CuckooAgg {
   def apply(c: Column, expectedItems: Long): Column =
     ExpressionUtils.column(
       CuckooAgg(ExpressionUtils.expression(c), expectedItems)
+        .toAggregateExpression())
+
+  /** Shape-pinned variant for deltas merged into an existing filter. */
+  def apply(c: Column, expectedItems: Long, exactBuckets: Int): Column =
+    ExpressionUtils.column(
+      CuckooAgg(ExpressionUtils.expression(c), expectedItems, exactBuckets)
         .toAggregateExpression())
 }

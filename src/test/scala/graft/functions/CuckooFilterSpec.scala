@@ -53,6 +53,33 @@ class CuckooFilterSpec extends AnyFunSuite {
     ks.foreach(k => assert(back.mightContain(k)))
   }
 
+  test("failedInserts counts drops, survives serialization, accumulates on merge") {
+    // overfill far past capacity: put MUST start returning false and the
+    // counter must equal the number of false returns (no silent loss)
+    val cf = CuckooFilter.create(256)
+    val ks = keys(10L, 5000)
+    val failed = ks.count(k => !cf.put(k))
+    assert(failed > 0, "expected an overfull filter to reject inserts")
+    assert(cf.failedInserts === failed.toLong)
+
+    val back = CuckooFilter.deserialize(cf.serialized)
+    assert(back.failedInserts === failed.toLong)
+
+    // merge propagates the other side's drops into the target's counter
+    val clean = CuckooFilter.create(256)
+    keys(11L, 100).foreach(clean.put)
+    assert(clean.failedInserts === 0L)
+    clean.mergeInPlace(CuckooFilter.deserialize(cf.serialized))
+    assert(clean.failedInserts >= failed.toLong)
+  }
+
+  test("a healthy filter reports zero failedInserts") {
+    val cf = CuckooFilter.create(20000)
+    keys(12L, 10000).foreach(k => assert(cf.put(k)))
+    assert(cf.failedInserts === 0L)
+    assert(CuckooFilter.deserialize(cf.serialized).failedInserts === 0L)
+  }
+
   test("cuckoo_agg aggregate: distributed build equals local build semantics") {
     val spark = SparkTestSession.spark
     import spark.implicits._

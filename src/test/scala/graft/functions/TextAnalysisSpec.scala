@@ -75,6 +75,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(q.punct_ratio > 0.0 && q.alpha_ratio > 0.5)
   }
 
+  test("fused profile equals the four separate kernels") {
+    val longDoc = (doc + " ") * 400 // > 4000 chars: exercises the sniff window
+    for (t <- Seq(doc, nearDoc, other, "", "  ", "一二三四五六七八九十" * 50, longDoc)) {
+      val p = profile(t)
+      assert(p.lang_pred === langId(t), s"langId for <$t>")
+      assert(p.quality === quality(t).score)
+      assert(p.n_tokens === tokens(t).length)
+      assert(p.fingerprint === fingerprint(t))
+    }
+  }
+
   test("bpe-ish token count: words plus punctuation marks") {
     assert(bpeTokenCount("hello, world!") === 4)
     assert(bpeTokenCount("") === 0)

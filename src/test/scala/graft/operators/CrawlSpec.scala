@@ -147,6 +147,41 @@ class CrawlSpec extends AnyFunSuite {
     assert(o1 === o2)
   }
 
+  test("cold path: lost filter file is rebuilt distributed, crawl stays identical") {
+    // bloom and cuckoo variants: crawl 2 rounds, delete the filter file from
+    // the head snapshot (simulates a lost/corrupt sidecar), resume to the end.
+    // The rebuild must come from the exact seen set — digests and ordering
+    // match the uninterrupted crawl bit-for-bit.
+    for ((kind, file) <- Seq("bloom" -> "bloom.bin", "cuckoo" -> "cuckoo.bin")) {
+      val dir = SparkTestSession.tempDir(s"crawl-coldpath-$kind")
+      val s1 = new SnapshotStore(spark, dir)
+      val c = cfg.copy(filterKind = kind)
+      Crawler.run(spark, s1, seeds, 2, c)
+      val lost = java.nio.file.Paths.get(dir, s"snapshot-${s1.head.get}", file)
+      assert(java.nio.file.Files.deleteIfExists(lost), s"no $file to delete")
+      Crawler.run(spark, s1, seeds, Rounds, c) // resumes through the cold path
+      assert(Crawler.seenDigest(spark, s1) === Crawler.seenDigest(spark, store),
+        s"$kind cold-path digest")
+      val o1 = Crawler.ordering(spark, s1).as[(Int, Long, String)].collect().toSeq
+      val o2 = Crawler.ordering(spark, store).as[(Int, Long, String)].collect().toSeq
+      assert(o1 === o2, s"$kind cold-path ordering")
+    }
+  }
+
+  test("cuckoo over-capacity regrows instead of dropping keys (exactness holds)") {
+    // a filter sized for ~64 items over a crawl that sees thousands: without
+    // the regrow path this would silently drop keys and re-crawl URLs
+    val s = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-tinycuckoo"))
+    Crawler.run(spark, s, seeds, 3, cfg.copy(filterKind = "cuckoo",
+      bloomExpectedItems = 64L))
+    val sB = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-bigbloom"))
+    Crawler.run(spark, sB, seeds, 3, cfg)
+    assert(Crawler.seenDigest(spark, s) === Crawler.seenDigest(spark, sB))
+    // the persisted filter must have regrown to hold the whole seen set
+    val cf = s.loadCuckoo(s.head.get).get
+    assert(cf.failedInserts === 0L, "persisted filter carries dropped keys")
+  }
+
   test("hot-host salting: two-phase top-k equals the unsalted politeness gate") {
     // force everything hot: threshold 1 → every host goes through phase 1
     val salted = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-salt"))

@@ -134,9 +134,14 @@ object CrawlRound {
     // (measured 6× the stage cost at 1M rows/round). Scale note: the map is
     // O(distinct hosts this round); beyond broadcast size (≳10^7 hosts/round)
     // swap to the equivalent broadcast/shuffle join on a RobotsEntry table.
+    // ONE job serves two driver maps: distinct due hosts (robots cache) and
+    // per-host due counts (hot-host detection below) — fusing them removes a
+    // whole groupBy shuffle + job from every round's serial fraction.
+    val dueHostCounts: Map[String, Long] =
+      traced("robots-fetch")(due.groupBy($"host").count()
+        .as[(String, Long)].collect().toMap)
     val hostRules: Map[String, Robots.Rules] =
-      traced("robots-fetch")(due.select($"host").distinct().as[String].collect()
-        .map(h => h -> SyntheticWeb.robotsFor(h)).toMap)
+      dueHostCounts.keysIterator.map(h => h -> SyntheticWeb.robotsFor(h)).toMap
     val rulesBc = spark.sparkContext.broadcast(hostRules)
     val defaultDelay = cfg.crawlDelayDefaultMs
     val robotsOk = udf { (host: String, url: String) =>
@@ -163,11 +168,14 @@ object CrawlRound {
     // --- politeness (W1/W2 + §4.3 two-phase salted top-k for hot hosts) ----
     val ord: Seq[Column] =
       Seq($"priority".desc, $"next_fetch_ts".asc, $"url_hash".asc)
+    // hot-host detection reuses the due counts from the robots job (due ≥
+    // allowed, so this can only salt MORE hosts than allowed-counts would —
+    // salting is semantics-neutral by the phase-1 keep-proof below, and the
+    // salted==unsalted equivalence test pins that)
     val hotHosts: Map[String, Int] = traced("hot-hosts")(
-      allowed.groupBy($"host").count()
-        .filter($"count" > cfg.hotHostThreshold)
-        .select($"host").as[String].collect()
-        .map(h => h -> cfg.saltBuckets).toMap)
+      dueHostCounts.iterator
+        .filter { case (_, n) => n > cfg.hotHostThreshold }
+        .map { case (h, _) => h -> cfg.saltBuckets }.toMap)
     val (phase1Kept, phase1Dropped) =
       if (hotHosts.isEmpty) (allowed, allowed.limit(0))
       else {
@@ -196,7 +204,7 @@ object CrawlRound {
         $"priority", $"next_fetch_ts", $"discovered_round", $"retries",
         $"host_rank", $"seq", $"fetch_ts")
       .as[FetchTask]
-    val sequenced = assignGlobalSeq(spark, preTasks, shufflePartitions)
+    val (sequenced, seqParent) = assignGlobalSeq(spark, preTasks, shufflePartitions)
     val tasks = sequenced.filter($"seq" < cfg.roundCap)
     val capDropped = sequenced.filter($"seq" >= cfg.roundCap)
 
@@ -305,26 +313,22 @@ object CrawlRound {
     val nextFrontier = notDue.unionByName(deferred).unionByName(newEntries).persist()
 
     // --- commit snapshot k+1 ------------------------------------------------
+    // The snapshot outputs (frontier / seen delta / compaction / pages /
+    // lineage / filter) are INDEPENDENT targets over already-cached inputs,
+    // so they run as CONCURRENT Spark jobs: each one is small and
+    // latency-bound at high core counts, and running them back-to-back was a
+    // measured slice of the round's non-scaling (Amdahl) serial fraction.
+    // Outputs are unchanged — concurrency reorders job start times only.
     val pending = store.begin(k + 1)
-    traced("write-frontier")(orderedFrontierWrite(nextFrontier, pending.frontierPath))
     val newSeen = trulyNew.select($"url_hash_hi", $"url_hash_lo", $"url",
       lit(k + 1).as("first_seen_round")).as[SeenUrl]
-    traced("write-seen")(newSeen.write.parquet(pending.seenDeltaPath))
-    // periodic compaction: materialize the whole seen set hash-partitioned,
-    // so loadSeen reads one clustered base + a few deltas (SURVEY.md §4.2)
-    if (cfg.compactSeenEvery > 0 && (k + 1) % cfg.compactSeenEvery == 0)
-      traced("compact-seen")(seen.unionByName(newSeen)
-        .repartition(math.max(shufflePartitions, 1), $"url_hash_hi")
-        .write.parquet(pending.seenFullPath))
-    traced("write-pages")(fetched.write.parquet(pending.pagesPath))
-    traced("write-lineage")(lineageOf(spark, fetched, k).write.parquet(pending.lineagePath))
 
     // A3 filter lifecycle: merge this round's new hashes into the running
     // filter (a fresh instance off prev*Bytes — never the broadcast probe
     // copy, which merge would mutate). Coalesce before the aggregate: each
     // input partition produces a partial filter of the FULL table size, so
     // fan-in = serialized megabytes.
-    if (cfg.filterKind == "cuckoo") {
+    def writeFilter(): Unit = if (cfg.filterKind == "cuckoo") {
       val merged = graft.functions.CuckooFilter.deserialize(prevCuckooBytes)
       // delta shape is pinned to the (possibly regrown) prev filter's bucket
       // count — cuckoo merge requires identical shapes
@@ -355,6 +359,31 @@ object CrawlRound {
       pending.writeBloom(prevBloom)
     }
 
+    {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val outputs = Seq(
+        Future(scala.concurrent.blocking(traced("write-frontier")(
+          orderedFrontierWrite(nextFrontier, pending.frontierPath)))),
+        Future(scala.concurrent.blocking(traced("write-seen")(
+          newSeen.write.parquet(pending.seenDeltaPath)))),
+        Future(scala.concurrent.blocking(traced("write-pages")(
+          fetched.write.parquet(pending.pagesPath)))),
+        Future(scala.concurrent.blocking(traced("write-lineage")(
+          lineageOf(spark, fetched, k).write.parquet(pending.lineagePath)))),
+        Future(scala.concurrent.blocking(writeFilter()))) ++
+        // periodic compaction: materialize the whole seen set hash-partitioned,
+        // so loadSeen reads one clustered base + a few deltas (SURVEY.md §4.2)
+        (if (cfg.compactSeenEvery > 0 && (k + 1) % cfg.compactSeenEvery == 0)
+          Seq(Future(scala.concurrent.blocking(traced("compact-seen")(
+            seen.unionByName(newSeen)
+              .repartition(math.max(shufflePartitions, 1), $"url_hash_hi")
+              .write.parquet(pending.seenFullPath)))))
+        else Nil)
+      Await.result(Future.sequence(outputs), Duration.Inf)
+    }
+
     // deferred / frontier / seen sizes follow arithmetically — no extra jobs:
     // next_frontier = prev − due + deferred + new, deferred = allowed − gated
     val nDeferred = nAllowed - nFetched
@@ -368,7 +397,7 @@ object CrawlRound {
       nFrontier, nSeen)
     pending.commit(manifestJson(metrics, cfg))
 
-    Seq(withRobots, hostRanked, sequenced.toDF(), deferred.toDF(),
+    Seq(withRobots, hostRanked, seqParent.toDF(), deferred.toDF(),
       fetched.toDF(), cand, trulyNew, nextFrontier.toDF())
       .foreach(_.unpersist(blocking = false))
     rulesBc.destroy()
@@ -397,8 +426,12 @@ object CrawlRound {
     * offsets (two narrow passes over the persisted sorted data). Sort keys are
     * unique (url_hash distinct within a frontier), so the order — and hence the
     * sequence — is independent of where the range boundaries fall. */
+  /** Returns (sequenced, cachedParent): the seq assignment is a cheap narrow
+    * map over the cached range-sorted parent, so downstream actions recompute
+    * it from cache instead of paying a dedicated materialization pass. The
+    * caller unpersists `cachedParent` at round end. */
   private def assignGlobalSeq(spark: SparkSession, ds: Dataset[FetchTask],
-      parts: Int): Dataset[FetchTask] = {
+      parts: Int): (Dataset[FetchTask], Dataset[FetchTask]) = {
     import spark.implicits._
     val sorted = ds
       .repartitionByRange(math.max(parts, 1), col("priority").desc,
@@ -414,10 +447,8 @@ object CrawlRound {
     val out = sorted.mapPartitions { it =>
       var s = bc.value.getOrElse(TaskContext.getPartitionId(), 0L)
       it.map { t => val u = t.copy(seq = s); s += 1; u }
-    }.persist()
-    out.count() // materialize before releasing the sorted parent
-    sorted.unpersist(blocking = false)
-    out
+    }
+    (out, sorted)
   }
 
   /** S8: deterministic per-partition lineage for the fetch/parse stage.

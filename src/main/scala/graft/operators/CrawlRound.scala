@@ -363,20 +363,21 @@ object CrawlRound {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
+      def fut(body: => Unit): Future[Unit] = Future(scala.concurrent.blocking(body))
       val outputs = Seq(
-        Future(scala.concurrent.blocking(traced("write-frontier")(
+        fut((traced("write-frontier")(
           orderedFrontierWrite(nextFrontier, pending.frontierPath)))),
-        Future(scala.concurrent.blocking(traced("write-seen")(
+        fut((traced("write-seen")(
           newSeen.write.parquet(pending.seenDeltaPath)))),
-        Future(scala.concurrent.blocking(traced("write-pages")(
+        fut((traced("write-pages")(
           fetched.write.parquet(pending.pagesPath)))),
-        Future(scala.concurrent.blocking(traced("write-lineage")(
+        fut((traced("write-lineage")(
           lineageOf(spark, fetched, k).write.parquet(pending.lineagePath)))),
-        Future(scala.concurrent.blocking(writeFilter()))) ++
+        fut(writeFilter())) ++
         // periodic compaction: materialize the whole seen set hash-partitioned,
         // so loadSeen reads one clustered base + a few deltas (SURVEY.md §4.2)
         (if (cfg.compactSeenEvery > 0 && (k + 1) % cfg.compactSeenEvery == 0)
-          Seq(Future(scala.concurrent.blocking(traced("compact-seen")(
+          Seq(fut((traced("compact-seen")(
             seen.unionByName(newSeen)
               .repartition(math.max(shufflePartitions, 1), $"url_hash_hi")
               .write.parquet(pending.seenFullPath)))))
@@ -429,7 +430,15 @@ object CrawlRound {
   /** Returns (sequenced, cachedParent): the seq assignment is a cheap narrow
     * map over the cached range-sorted parent, so downstream actions recompute
     * it from cache instead of paying a dedicated materialization pass. The
-    * caller unpersists `cachedParent` at round end. */
+    * caller unpersists `cachedParent` at round end.
+    *
+    * The per-partition offsets MUST be keyed by the parent RDD's OWN
+    * partition index (`mapPartitionsWithIndex`), never by
+    * `TaskContext.getPartitionId()`: the task partition id is the CONSUMING
+    * stage's — inside a union (e.g. the deferred ∪ branches of the frontier
+    * write) branch partitions are renumbered and the offsets would be
+    * garbage. (Found as a real row-loss bug by SoakCheck's manifest
+    * cross-check when the materialization pass was removed.) */
   private def assignGlobalSeq(spark: SparkSession, ds: Dataset[FetchTask],
       parts: Int): (Dataset[FetchTask], Dataset[FetchTask]) = {
     import spark.implicits._
@@ -438,16 +447,20 @@ object CrawlRound {
         col("next_fetch_ts"), col("url_hash"))
       .sortWithinPartitions(col("priority").desc, col("next_fetch_ts"), col("url_hash"))
       .persist()
-    val counts = traced("politeness+sequence")(sorted.mapPartitions { it =>
-      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
-    }.collect().sortBy(_._1))
+    // sorted.rdd reads the InMemoryRelation cache; its partition indices are
+    // the range partitions, stable in any consuming plan
+    val sortedRdd = sorted.rdd
+    val counts = traced("politeness+sequence")(
+      sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single((pid, it.size.toLong))
+      }.collect().sortBy(_._1))
     val starts = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
       .sliding(2).collect { case Array((_, st), (pid, _)) => pid -> st }.toMap
     val bc = spark.sparkContext.broadcast(starts)
-    val out = sorted.mapPartitions { it =>
-      var s = bc.value.getOrElse(TaskContext.getPartitionId(), 0L)
+    val out = spark.createDataset(sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = bc.value.getOrElse(pid, 0L)
       it.map { t => val u = t.copy(seq = s); s += 1; u }
-    }
+    })
     (out, sorted)
   }
 

@@ -147,6 +147,21 @@ class CrawlSpec extends AnyFunSuite {
     assert(o1 === o2)
   }
 
+  test("manifest sizes reconcile with actual table counts every round") {
+    // the arithmetically-derived manifest fields must equal the real table
+    // sizes — this is the check that caught the union-renumbered
+    // TaskContext.getPartitionId() row-loss bug (see assignGlobalSeq)
+    (1 to Rounds).foreach { i =>
+      val m = store.manifest(i).get
+      def field(f: String): Long =
+        ("\"" + f + "\":(-?\\d+)").r.findFirstMatchIn(m).get.group(1).toLong
+      assert(field("frontier_size") === store.loadFrontier(i).count(),
+        s"frontier_size round $i")
+      assert(field("seen_size") === store.loadSeen(i).count(),
+        s"seen_size round $i")
+    }
+  }
+
   test("cold path: lost filter file is rebuilt distributed, crawl stays identical") {
     // bloom and cuckoo variants: crawl 2 rounds, delete the filter file from
     // the head snapshot (simulates a lost/corrupt sidecar), resume to the end.

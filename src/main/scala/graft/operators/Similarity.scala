@@ -68,7 +68,7 @@ object Similarity {
 
   /** Deterministic random hyperplanes: `nBits` planes × `dim` components,
     * seeded through xxh64 → approximately N(0,1) via sum of uniforms. */
-  private[operators] def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L)
+  private[graft] def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L)
       : Array[Array[Double]] =
     Array.tabulate(nBits) { b =>
       Array.tabulate(dim) { d =>

@@ -51,4 +51,19 @@ class UdfRegistrySpec extends AnyFunSuite {
       .as[Double].head()
     assert(math.abs(v - 1.0) < 1e-12)
   }
+
+  test("sig_agree, lsh_sigs and text_profile are callable from SQL") {
+    names
+    val agree = spark.sql(
+      "SELECT sig_agree(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 7L)) AS a")
+      .as[Double].head()
+    assert(agree === 0.5)
+    val sigs = spark.sql(
+      "SELECT lsh_sigs(array(cast(0.5 as float), cast(-1.5 as float))) AS s")
+      .as[Seq[Int]].head()
+    assert(sigs.length === 8)
+    val prof = spark.sql("SELECT text_profile('the quick brown fox') AS p")
+      .select("p.lang_pred", "p.n_tokens").as[(String, Int)].head()
+    assert(prof === ("en", 4))
+  }
 }

@@ -277,6 +277,14 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    // embedding-cosine near-dup: exact all-pairs baseline (oracle-checked);
+    // the _lsh variant is the bucketed scale path (recall < 1 → rows-only)
+    "q_dedup_embedding" -> ((s, d) =>
+      Similarity.cosinePairs(t(s, d, "embeddings"), threshold = 0.3,
+        roundTo = 6)),
+    "q_dedup_embedding_lsh" -> ((s, d) =>
+      Similarity.cosinePairsLsh(t(s, d, "embeddings"), threshold = 0.3,
+        roundTo = 6)),
     "q_lang_quality" -> ((s, d) => {
       val langIdUdf = udf((x: String) => TextAnalysis.langId(x))
       val qUdf = udf((x: String) => TextAnalysis.quality(x))
@@ -447,5 +455,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // same 6dp quantization-before-threshold as the Spark side, so the pair
+    // set and the hashed cosine values agree across engines
+    "q_dedup_embedding" ->
+      """SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.3""".stripMargin,
   )
 }

@@ -66,6 +66,47 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Exact embedding-cosine near-dup pairs: every (a, b) with a < b and
+    * cosine ≥ threshold. O(n²/2) via a broadcast nested-loop self-join —
+    * the correct baseline and the DuckDB-oracle surface; `cosinePairsLsh`
+    * is the bucketed scale path. `roundTo` quantizes the cosine before the
+    * threshold so the result set is engine-independent. */
+  def cosinePairs(emb: DataFrame, threshold: Double,
+      roundTo: Int = -1): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = broadcast(
+      emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")))
+    val raw = cosine(col("emb_a"), col("emb_b"))
+    val cos = if (roundTo >= 0) round(raw, roundTo) else raw
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cos)
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** LSH-bucketed embedding near-dup pairs (the scale path): candidates are
+    * pairs sharing a (table, sig) bucket in ANY of the L tables, then the
+    * exact cosine filter runs on candidates only — no all-pairs join. Recall
+    * < 1 by construction (near-threshold pairs may share no bucket); at high
+    * cosine the collision probability per table is (1−θ/π)^bits, boosted by
+    * the union over tables. Pairs are deduped across tables before scoring. */
+  def cosinePairsLsh(emb: DataFrame, threshold: Double, roundTo: Int = -1,
+      nBits: Int = 8, nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val sig = withLshSignatures(emb, nBits, nTables, dim)
+    val a = sig.select(col("table"), col("sig"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = sig.select(col("table"), col("sig"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val raw = cosine(col("emb_a"), col("emb_b"))
+    val cos = if (roundTo >= 0) round(raw, roundTo) else raw
+    a.join(b, Seq("table", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cosine", cos)
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   /** Deterministic random hyperplanes: `nBits` planes × `dim` components,
     * seeded through xxh64 → approximately N(0,1) via sum of uniforms. */
   private[graft] def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L)

@@ -97,6 +97,19 @@ class SimilaritySpec extends AnyFunSuite {
     got.foreach { case (id, s, ref) => assert(s === ref, s"vec $id") }
   }
 
+  test("embedding near-dup: LSH pairs ⊆ exact pairs, with a pinned recall floor") {
+    val exact = Similarity.cosinePairs(emb, threshold = 0.3, roundTo = 6)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosinePairsLsh(emb, threshold = 0.3, roundTo = 6)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "LSH must never invent a pair (exact cosine filter)")
+    val recall = lsh.size.toDouble / exact.size
+    // deterministic (seeded planes, fixed parquet); τ=0.3 pairs are weakly
+    // correlated vectors — the hard case for bucket collision
+    assert(recall >= 0.10, s"near-dup recall collapsed: $recall")
+  }
+
   test("hyperplanes are deterministic") {
     val a = Similarity.hyperplanes(4, 8)
     val b = Similarity.hyperplanes(4, 8)

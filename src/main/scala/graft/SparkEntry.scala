@@ -277,6 +277,10 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
     // embedding-cosine near-dup: exact all-pairs baseline (oracle-checked);
     // the _lsh variant is the bucketed scale path (recall < 1 → rows-only)
     "q_dedup_embedding" -> ((s, d) =>

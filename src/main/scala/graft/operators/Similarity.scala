@@ -107,6 +107,110 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  // --- IVF (inverted-file) ANN — the second scale path -----------------------
+
+  /** Deterministic IVF coarse quantizer: k-means over the corpus with
+    * hash-seeded init (the nList vectors with the smallest xxh64(vec_id))
+    * and a fixed number of Lloyd iterations. The centroid update accumulates
+    * components as integer micro-units (1e-6) so the result is EXACTLY
+    * order-independent — a float sum's partition-order nondeterminism would
+    * otherwise make index builds unreproducible. Returns the flattened
+    * centroid matrix [c*dim + d]. */
+  def ivfCentroids(corpus: DataFrame, nList: Int = 16, iters: Int = 3,
+      dim: Int = 64): Array[Double] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val init = corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h")).limit(nList)
+      .select(col("embedding")).as[Seq[Float]].collect()
+    var cents: Array[Double] = Array.tabulate(nList * dim) { i =>
+      val c = i / dim; val d = i % dim
+      if (c < init.length && d < init(c).length) init(c)(d).toDouble else 0.0
+    }
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assignU = udf { (e: Seq[Float]) => nearestCentroid(e, bc.value, nList, dim) }
+      // integer micro-unit sums: commutative + associative ⇒ deterministic
+      val sums = corpus
+        .select(assignU(col("embedding")).as("c"),
+          posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy(col("c"), col("d"))
+        .agg(sum((col("v") * 1000000L).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .as[(Int, Int, Long, Long)].collect()
+      val next = cents.clone()
+      sums.foreach { case (c, d, s, n) =>
+        next(c * dim + d) = s.toDouble / 1e6 / n.toDouble
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  private[graft] def nearestCentroid(e: Seq[Float], cents: Array[Double],
+      nList: Int, dim: Int): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    val n = math.min(e.length, dim)
+    while (c < nList) {
+      var dot = 0.0; var d = 0
+      while (d < n) { dot += e(d) * cents(c * dim + d); d += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private[graft] def nearestCentroids(e: Seq[Float], cents: Array[Double],
+      nList: Int, dim: Int, nProbe: Int): Seq[Int] = {
+    val n = math.min(e.length, dim)
+    (0 until nList).map { c =>
+      var dot = 0.0; var d = 0
+      while (d < n) { dot += e(d) * cents(c * dim + d); d += 1 }
+      (c, dot)
+    }.sortBy { case (c, dot) => (-dot, c) }.take(nProbe).map(_._1)
+  }
+
+  /** Corpus with its IVF list assignment (the reusable index — materialize
+    * it once per corpus; list assignment never touches other rows). */
+  def withIvfList(corpus: DataFrame, cents: Array[Double], nList: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    val assignU = udf { (e: Seq[Float]) => nearestCentroid(e, bc.value, nList, dim) }
+    corpus.withColumn("ivf_list", assignU(col("embedding")))
+  }
+
+  /** IVF ANN top-k: queries probe their `nProbe` nearest centroid lists and
+    * scan ONLY those lists — the candidate scan is |corpus|·nProbe/nList per
+    * query instead of |corpus| (the standard inverted-file recall/cost
+    * trade; recall < 1 when a true neighbor lives in an unprobed list). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nList: Int = 16, nProbe: Int = 4, iters: Int = 3,
+      dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = ivfCentroids(corpus, nList, iters, dim)
+    val indexed = withIvfList(corpus, cents, nList, dim)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("ivf_list"))
+    val bc = spark.sparkContext.broadcast(cents)
+    val probeU = udf { (e: Seq[Float]) => nearestCentroids(e, bc.value, nList, dim, nProbe) }
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(probeU(col("embedding"))).as("ivf_list")))
+    val scored = indexed.join(q, Seq("ivf_list"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Deterministic random hyperplanes: `nBits` planes × `dim` components,
     * seeded through xxh64 → approximately N(0,1) via sum of uniforms. */
   private[graft] def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L)

@@ -32,6 +32,19 @@ object Robots {
 
   val Permissive: Rules = Rules(0L, Vector.empty, Vector.empty)
 
+  private val parseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Rules]()
+
+  /** Executor-side memoized `parse` for the join-form robots gate
+    * (CrawlConfig.robotsViaJoin): the same body recurs for every URL of a
+    * host within a partition, so the per-row cost drops to a map lookup.
+    * Bounded (cleared past 10k distinct bodies); output identical to
+    * `parse`. */
+  def cachedParse(body: String, agent: String = "graft"): Rules = {
+    if (parseCache.size > 10000) parseCache.clear()
+    parseCache.computeIfAbsent(body, b => parse(b, agent))
+  }
+
   /** Parse a robots.txt body for `agent` (exact token match or "*" group). A
     * specific-agent group, when present, REPLACES the "*" group (RFC 9309 §2.2.1:
     * only the most specific matching group applies). */

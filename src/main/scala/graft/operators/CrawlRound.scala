@@ -134,28 +134,64 @@ object CrawlRound {
     // (measured 6× the stage cost at 1M rows/round). Scale note: the map is
     // O(distinct hosts this round); beyond broadcast size (≳10^7 hosts/round)
     // swap to the equivalent broadcast/shuffle join on a RobotsEntry table.
-    // ONE job serves two driver maps: distinct due hosts (robots cache) and
-    // per-host due counts (hot-host detection below) — fusing them removes a
-    // whole groupBy shuffle + job from every round's serial fraction.
-    val dueHostCounts: Map[String, Long] =
-      traced("robots-fetch")(due.groupBy($"host").count()
-        .as[(String, Long)].collect().toMap)
-    val hostRules: Map[String, Robots.Rules] =
-      dueHostCounts.keysIterator.map(h => h -> SyntheticWeb.robotsFor(h)).toMap
-    val rulesBc = spark.sparkContext.broadcast(hostRules)
+    // Two equivalent forms (cfg.robotsViaJoin; crawl output identical,
+    // equivalence-tested). Map form also fuses hot-host detection into the
+    // same job — ONE groupBy serves both driver maps.
     val defaultDelay = cfg.crawlDelayDefaultMs
-    val robotsOk = udf { (host: String, url: String) =>
-      rulesBc.value.get(host).forall(_.allowed(UrlCanon.pathOf(url)))
+    val (withRobots, hotHosts, rulesBcOpt) = if (cfg.robotsViaJoin) {
+      // SCALE FORM (≳10^7 distinct hosts/round): robots bodies ride a
+      // broadcast-joined (host, body) table — "fetched" executor-side — and
+      // rules compile lazily per executor with a memoized parse. No
+      // O(all-hosts) driver structure anywhere: the only collect is the
+      // hot-host list, O(#hosts over threshold) by definition.
+      val robotsBodyU = udf { (h: String) => SyntheticWeb.robotsBody(h) }
+      val allowedU = udf { (body: String, url: String) =>
+        Robots.cachedParse(body).allowed(UrlCanon.pathOf(url))
+      }
+      val delayU = udf { (body: String) => Robots.cachedParse(body).crawlDelayMs }
+      val robotsDf = traced("robots-fetch")(due.select($"host").distinct()
+        .withColumn("robots_body", robotsBodyU($"host")))
+      // F2 robots gate — denied URLs are dropped for good (they stay in the
+      // seen set, so they are never re-enqueued either). Pinned behavior.
+      val wr = due.join(broadcast(robotsDf), Seq("host"))
+        .withColumn("crawl_delay_ms", delayU($"robots_body"))
+        .withColumn("robots_ok", allowedU($"robots_body", $"url"))
+        .drop("robots_body")
+        .persist()
+      val hot: Map[String, Int] = traced("hot-hosts")(
+        due.groupBy($"host").count()
+          .filter($"count" > cfg.hotHostThreshold)
+          .select($"host").as[String].collect()
+          .map(h => h -> cfg.saltBuckets).toMap)
+      (wr, hot, None)
+    } else {
+      // MAP FORM (default, the Mercator robots cache): one job serves two
+      // driver maps — distinct due hosts (rules, compiled driver-side and
+      // broadcast) and per-host due counts (hot-host detection).
+      val dueHostCounts: Map[String, Long] =
+        traced("robots-fetch")(due.groupBy($"host").count()
+          .as[(String, Long)].collect().toMap)
+      val hostRules: Map[String, Robots.Rules] =
+        dueHostCounts.keysIterator.map(h => h -> SyntheticWeb.robotsFor(h)).toMap
+      val rulesBc = spark.sparkContext.broadcast(hostRules)
+      val robotsOk = udf { (host: String, url: String) =>
+        rulesBc.value.get(host).forall(_.allowed(UrlCanon.pathOf(url)))
+      }
+      val delayOf = udf { (host: String) =>
+        rulesBc.value.get(host).map(_.crawlDelayMs).getOrElse(defaultDelay)
+      }
+      // F2 robots gate — denied URLs are dropped for good (they stay in the
+      // seen set, so they are never re-enqueued either). Pinned behavior.
+      val wr = due
+        .withColumn("crawl_delay_ms", delayOf($"host"))
+        .withColumn("robots_ok", robotsOk($"host", $"url"))
+        .persist()
+      val hot: Map[String, Int] = traced("hot-hosts")(
+        dueHostCounts.iterator
+          .filter { case (_, n) => n > cfg.hotHostThreshold }
+          .map { case (h, _) => h -> cfg.saltBuckets }.toMap)
+      (wr, hot, Some(rulesBc))
     }
-    val delayOf = udf { (host: String) =>
-      rulesBc.value.get(host).map(_.crawlDelayMs).getOrElse(defaultDelay)
-    }
-    // F2 robots gate — denied URLs are dropped for good (they stay in the seen
-    // set, so they are never re-enqueued either). Pinned behavior.
-    val withRobots = due
-      .withColumn("crawl_delay_ms", delayOf($"host"))
-      .withColumn("robots_ok", robotsOk($"host", $"url"))
-      .persist()
     // one fused pass: due count + allowed count (every later count that can be
     // derived arithmetically is — rounds stay at ~a dozen Spark jobs total)
     val (nDue, nAllowed) = traced("due+robots-gate")(
@@ -168,14 +204,10 @@ object CrawlRound {
     // --- politeness (W1/W2 + §4.3 two-phase salted top-k for hot hosts) ----
     val ord: Seq[Column] =
       Seq($"priority".desc, $"next_fetch_ts".asc, $"url_hash".asc)
-    // hot-host detection reuses the due counts from the robots job (due ≥
-    // allowed, so this can only salt MORE hosts than allowed-counts would —
-    // salting is semantics-neutral by the phase-1 keep-proof below, and the
+    // hot-host detection keys off DUE counts (due ≥ allowed, so this can
+    // only salt MORE hosts than allowed-counts would — salting is
+    // semantics-neutral by the phase-1 keep-proof below, and the
     // salted==unsalted equivalence test pins that)
-    val hotHosts: Map[String, Int] = traced("hot-hosts")(
-      dueHostCounts.iterator
-        .filter { case (_, n) => n > cfg.hotHostThreshold }
-        .map { case (h, _) => h -> cfg.saltBuckets }.toMap)
     val (phase1Kept, phase1Dropped) =
       if (hotHosts.isEmpty) (allowed, allowed.limit(0))
       else {
@@ -401,7 +433,7 @@ object CrawlRound {
     Seq(withRobots, hostRanked, seqParent.toDF(), deferred.toDF(),
       fetched.toDF(), cand, trulyNew, nextFrontier.toDF())
       .foreach(_.unpersist(blocking = false))
-    rulesBc.destroy()
+    rulesBcOpt.foreach(_.destroy())
     RoundResult(k, metrics)
   }
 

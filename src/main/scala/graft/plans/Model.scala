@@ -134,7 +134,14 @@ object Model {
       // anti-join only. Both route identically: filter-clear ⇒ definitely new.
       filterKind: String = "bloom",
       bloomExpectedItems: Long = 1L << 20,
-      bloomFpp: Double = 0.01)
+      bloomFpp: Double = 0.01,
+      // false (default): robots rules compiled driver-side and broadcast as a
+      // host→Rules map — the Mercator cache, right up to broadcastable host
+      // counts. true: robots carried as a broadcast-JOINED (host, body) table
+      // with executor-side memoized parsing — no O(all-hosts) driver
+      // structure, the ≳10^7-distinct-hosts/round form. Identical crawl
+      // output (equivalence-tested).
+      robotsViaJoin: Boolean = false)
 
   /** round_ts(k) — rounds tick on a fixed cadence so deferred entries
     * (next_fetch_ts = round_ts + budget*delay) come due by the next round. */

@@ -197,6 +197,18 @@ class CrawlSpec extends AnyFunSuite {
     assert(cf.failedInserts === 0L, "persisted filter carries dropped keys")
   }
 
+  test("robots-via-join (scale form) produces the identical crawl to the map form") {
+    val s = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-robotsjoin"))
+    Crawler.run(spark, s, seeds, 3, cfg.copy(robotsViaJoin = true))
+    val sM = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-robotsmap"))
+    Crawler.run(spark, sM, seeds, 3, cfg)
+    assert(Crawler.seenDigest(spark, s) === Crawler.seenDigest(spark, sM))
+    val o1 = Crawler.ordering(spark, s).as[(Int, Long, String)].collect().toSeq
+    val o2 = Crawler.ordering(spark, sM).as[(Int, Long, String)].collect().toSeq
+    assert(o1 === o2)
+    (0 to 3).foreach(k => assert(s.manifest(k) === sM.manifest(k)))
+  }
+
   test("hot-host salting: two-phase top-k equals the unsalted politeness gate") {
     // force everything hot: threshold 1 → every host goes through phase 1
     val salted = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-salt"))

@@ -318,6 +318,12 @@ object SparkEntry {
     "q_multimodal_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.synthesize(t(s, d, "documents")))
         .select(col("media_id"), col("frame_idx"))),
+    // resize: scalar projection only (payload bytes stay executor-side)
+    "q_multimodal_resize" -> ((s, d) =>
+      Multimodal.resize(Multimodal.synthesize(t(s, d, "documents")), 128, 128)
+        .toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          length(col("media")).cast("long").as("byte_len"))),
   )
 
   /** DuckDB-runnable oracles for every ANSI-expressible query above. */

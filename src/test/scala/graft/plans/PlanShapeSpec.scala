@@ -76,6 +76,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), plan)
   }
 
+  test("ANN LSH plan is a bucket join, never a cartesian/NLJ over the corpus") {
+    val plan = SparkEntry.queries("q_ann_lsh")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("lsh_signatures"), plan) // the codegen expression
+  }
+
+  test("embedding near-dup: exact form is the (intended, bounded) NLJ; LSH form is not") {
+    // the exact baseline deliberately broadcasts one side into an NLJ — it
+    // exists as the oracle surface; the scale path must be a key join
+    val exact = SparkEntry.queries("q_dedup_embedding")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("BroadcastNestedLoopJoin"), exact)
+    val lsh = SparkEntry.queries("q_dedup_embedding_lsh")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!lsh.contains("BroadcastNestedLoopJoin"), lsh)
+    assert(!lsh.contains("CartesianProduct"), lsh)
+  }
+
+  test("IVF probe join is a key join on the list id, not a corpus scan per query") {
+    val plan = SparkEntry.queries("q_ann_ivf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("ivf_list"), plan)
+  }
+
   test("documents 2-column projection reads a 2-column schema") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"lang")

@@ -79,6 +79,36 @@ object CrawlRound {
   private def bloomOf(bytes: Array[Byte]): BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
 
+  /** Shard-local URL-seen probe (CrawlConfig.filterShards > 0): candidates
+    * repartition by pmod(url_hash, n); each partition lazily loads the filter
+    * file(s) of the shards hashed into it (≈1 when n ≥ partitions) from the
+    * shared store and flags rows in place. No filter is ever broadcast or
+    * held whole anywhere. */
+  private def shardProbe(spark: SparkSession, store: SnapshotStore, k: Int,
+      cand: org.apache.spark.sql.DataFrame, cfg: CrawlConfig)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val n = cfg.filterShards
+    val paths = (0 until n).map(i => store.filterShardPath(k, i)).toArray
+    val typed = cand
+      .withColumn("shard", pmod(col("url_hash"), lit(n.toLong)).cast("int"))
+      .select($"url", $"url_hash", $"url_hash_hi", $"url_hash_lo", $"host",
+        $"priority", $"shard")
+      .as[(String, Long, Long, Long, String, Int, Int)]
+    typed.repartition(n, $"shard").mapPartitions { it =>
+      val filters = scala.collection.mutable.Map.empty[Int, BloomFilter]
+      it.map { case (url, h, hi, lo, host, prio, shard) =>
+        val bf = filters.getOrElseUpdate(shard, {
+          val in = java.nio.file.Files.newInputStream(
+            java.nio.file.Paths.get(paths(shard)))
+          try BloomFilter.readFrom(in) finally in.close()
+        })
+        (url, h, hi, lo, host, prio, bf.mightContainLong(h))
+      }
+    }.toDF("url", "url_hash", "url_hash_hi", "url_hash_lo", "host",
+      "priority", "maybe_seen")
+  }
+
   /** Build a FrontierEntry from a canonical URL (seeds + new links). */
   def entryFor(url: String, priority: Int, nextFetchTs: Long, round: Int): FrontierEntry = {
     val (hi, lo) = Hashes.murmur128(url)
@@ -308,8 +338,15 @@ object CrawlRound {
       store.loadBloom(k).map(bloomBytes).getOrElse(
         traced("bloom-cold-rebuild")(bloomBytes(
           bloomOfUrls(seen.toDF(), cfg.bloomExpectedItems, cfg.bloomFpp))))
+    // filterShards > 0 (bloom kind): the cumulative filter is SHARDED by
+    // pmod(url_hash, n) — candidates route to their shard's partition and
+    // probe a partition-local filter, so per-executor filter memory is
+    // O(total/n) instead of the whole (≈12 GB at 10^10 keys, 1% fpp —
+    // unbroadcastable). Exactness backstop unchanged.
+    val sharded =
+      cfg.useBloom && cfg.filterKind == "bloom" && cfg.filterShards > 0
     val probeOpt: Option[org.apache.spark.sql.expressions.UserDefinedFunction] =
-      if (!cfg.useBloom) None
+      if (!cfg.useBloom || sharded) None
       else if (cfg.filterKind == "cuckoo") {
         val bc = spark.sparkContext.broadcast(
           graft.functions.CuckooFilter.deserialize(prevCuckooBytes))
@@ -318,17 +355,27 @@ object CrawlRound {
         val bfb = spark.sparkContext.broadcast(bloomOf(prevBloomBytes))
         Some(udf((h: Long) => bfb.value.mightContainLong(h)))
       }
+    def antiJoinAll(df: org.apache.spark.sql.DataFrame) =
+      df.join(seen.select($"url_hash_hi", $"url_hash_lo"),
+        Seq("url_hash_hi", "url_hash_lo"), "left_anti")
     val trulyNew =
-      (probeOpt match {
+      (if (sharded && store.filterShardsExist(k, cfg.filterShards)) {
+        val flagged = shardProbe(spark, store, k, cand, cfg)
+        val suspects = flagged.filter($"maybe_seen").drop("maybe_seen")
+        val definitelyNew = flagged.filter(!$"maybe_seen").drop("maybe_seen")
+        antiJoinAll(suspects).unionByName(definitelyNew)
+      } else if (sharded) {
+        // cold path (shard files absent — e.g. round 0, whose snapshot only
+        // carries the monolithic init filter): exact anti-join this round;
+        // the lifecycle below writes the full shard set for snapshot k+1
+        antiJoinAll(cand)
+      } else probeOpt match {
         case Some(mightContain) =>
           val suspects = cand.filter(mightContain($"url_hash"))
           val definitelyNew = cand.filter(!mightContain($"url_hash"))
-          suspects.join(seen.select($"url_hash_hi", $"url_hash_lo"),
-              Seq("url_hash_hi", "url_hash_lo"), "left_anti")
-            .unionByName(definitelyNew)
+          antiJoinAll(suspects).unionByName(definitelyNew)
         case None =>
-          cand.join(seen.select($"url_hash_hi", $"url_hash_lo"),
-            Seq("url_hash_hi", "url_hash_lo"), "left_anti")
+          antiJoinAll(cand)
       }).persist()
     val nNew = traced("seen-dedup")(trulyNew.count())
 
@@ -360,7 +407,39 @@ object CrawlRound {
     // copy, which merge would mutate). Coalesce before the aggregate: each
     // input partition produces a partial filter of the FULL table size, so
     // fan-in = serialized megabytes.
-    def writeFilter(): Unit = if (cfg.filterKind == "cuckoo") {
+    def writeFilter(): Unit = if (sharded) {
+      // sharded bloom lifecycle: per-shard delta blooms in ONE distributed
+      // groupBy aggregation (BloomAgg — stat.bloomFilter cannot group), then
+      // merged into the previous shards ONE SHARD AT A TIME driver-side
+      // (O(total/n) driver memory). Prev shards missing (cold / round 0) →
+      // the same single aggregation builds the full set from seen ∪ new.
+      val n = cfg.filterShards
+      val perShard = math.max(cfg.bloomExpectedItems / n, 1024L)
+      val numBits = BloomFilter.optimalNumOfBits(perShard, cfg.bloomFpp)
+      val havePrev = store.filterShardsExist(k, n)
+      val src =
+        if (havePrev) trulyNew.select($"url_hash")
+        else seen.toDF().unionByName(newSeen.toDF())
+          .select(xxh64OfUrl($"url").as("url_hash"))
+      val deltas: Map[Int, Array[Byte]] = traced("bloom-shard-build")(
+        src.withColumn("shard", pmod($"url_hash", lit(n.toLong)).cast("int"))
+          .groupBy($"shard")
+          .agg(org.apache.spark.sql.graftexpr.BloomAgg($"url_hash", perShard,
+            numBits).as("bytes"))
+          .as[(Int, Array[Byte])].collect().toMap)
+      (0 until n).foreach { i =>
+        val prev = if (havePrev) store.loadFilterShard(k, i) else None
+        val bytes = (prev, deltas.get(i)) match {
+          case (Some(p), Some(d)) =>
+            val bf = bloomOf(p); bf.mergeInPlace(bloomOf(d)); bloomBytes(bf)
+          case (Some(p), None) => p
+          case (None, Some(d)) => d
+          case (None, None) =>
+            bloomBytes(BloomFilter.create(perShard, numBits))
+        }
+        pending.writeFilterShard(i, bytes)
+      }
+    } else if (cfg.filterKind == "cuckoo") {
       val merged = graft.functions.CuckooFilter.deserialize(prevCuckooBytes)
       // delta shape is pinned to the (possibly regrown) prev filter's bucket
       // count — cuckoo merge requires identical shapes

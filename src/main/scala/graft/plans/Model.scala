@@ -141,7 +141,15 @@ object Model {
       // with executor-side memoized parsing — no O(all-hosts) driver
       // structure, the ≳10^7-distinct-hosts/round form. Identical crawl
       // output (equivalence-tested).
-      robotsViaJoin: Boolean = false)
+      robotsViaJoin: Boolean = false,
+      // 0 (default): one broadcast URL-seen filter — right up to broadcast
+      // size (~10^8-10^9 keys). >0 (bloom kind only): the filter is SHARDED
+      // by pmod(url_hash, n); candidates route to their shard's partition
+      // and probe a partition-local filter — per-executor memory is
+      // O(total/n), the 10^10-URL form (a 1%-fpp bloom over 10^10 keys is
+      // ~12 GB — unbroadcastable whole). Identical crawl output (the exact
+      // anti-join backstop is unchanged; equivalence-tested).
+      filterShards: Int = 0)
 
   /** round_ts(k) — rounds tick on a fixed cadence so deferred entries
     * (next_fetch_ts = round_ts + budget*delay) come due by the next round. */

@@ -104,6 +104,21 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     else Some(graft.functions.CuckooFilter.deserialize(Files.readAllBytes(p)))
   }
 
+  /** Sharded URL-seen filter files (CrawlConfig.filterShards > 0): shard i
+    * of snapshot k. Executors read these directly during the shard-local
+    * probe — on a cluster this path is the shared store, same assumption as
+    * every other snapshot table. */
+  def filterShardPath(k: Int, i: Int): String =
+    snapDir(k).resolve("filter_shards").resolve(s"shard-$i.bin").toString
+
+  def filterShardsExist(k: Int, n: Int): Boolean =
+    (0 until n).forall(i => Files.exists(Paths.get(filterShardPath(k, i))))
+
+  def loadFilterShard(k: Int, i: Int): Option[Array[Byte]] = {
+    val p = Paths.get(filterShardPath(k, i))
+    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+  }
+
   def manifest(k: Int): Option[String] = {
     val p = snapDir(k).resolve("manifest.json")
     if (Files.exists(p)) Some(Files.readString(p)) else None
@@ -132,6 +147,12 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
 
     def writeCuckoo(cf: graft.functions.CuckooFilter): Unit =
       Files.write(dir.resolve("cuckoo.bin"), cf.serialized)
+
+    def writeFilterShard(i: Int, bytes: Array[Byte]): Unit = {
+      val d = dir.resolve("filter_shards")
+      Files.createDirectories(d)
+      Files.write(d.resolve(s"shard-$i.bin"), bytes)
+    }
 
     /** Step 2–4 of the protocol. `manifestJson` must already be deterministic
       * (no wall-clock fields) so identical runs byte-compare (SURVEY.md §5.4). */

@@ -16,6 +16,7 @@ object SoakCheck {
   def main(args: Array[String]): Unit = {
     val rounds = args.headOption.getOrElse("8").toInt
     val filterKind = args.lift(1).getOrElse("bloom")
+    val shards = args.lift(2).getOrElse("0").toInt
     val spark = SparkSession.builder().master("local[8]")
       .appName("soak").config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -35,7 +36,7 @@ object SoakCheck {
     rm(java.nio.file.Paths.get(dir))
     val store = new SnapshotStore(spark, dir)
     val cfg = CrawlConfig(roundCap = 400, compactSeenEvery = 3,
-      filterKind = filterKind)
+      filterKind = filterKind, filterShards = shards)
     Crawler.run(spark, store, SyntheticWeb.seeds(20), rounds, cfg)
 
     var failures = 0

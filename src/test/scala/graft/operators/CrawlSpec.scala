@@ -197,6 +197,23 @@ class CrawlSpec extends AnyFunSuite {
     assert(cf.failedInserts === 0L, "persisted filter carries dropped keys")
   }
 
+  test("sharded URL-seen filter produces the identical crawl to the broadcast form") {
+    // 5 shards over the default bloom kind; includes the cold round-0 path
+    // (snapshot 0 carries only the monolithic init filter, so round 0 probes
+    // via the exact anti-join and the lifecycle writes the first shard set)
+    val s = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-shardedbloom"))
+    Crawler.run(spark, s, seeds, 4, cfg.copy(filterShards = 5))
+    val sB = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-monobloom"))
+    Crawler.run(spark, sB, seeds, 4, cfg)
+    assert(Crawler.seenDigest(spark, s) === Crawler.seenDigest(spark, sB))
+    val o1 = Crawler.ordering(spark, s).as[(Int, Long, String)].collect().toSeq
+    val o2 = Crawler.ordering(spark, sB).as[(Int, Long, String)].collect().toSeq
+    assert(o1 === o2)
+    (0 to 4).foreach(k => assert(s.manifest(k) === sB.manifest(k)))
+    // the shard files really exist and carry the whole seen set across shards
+    assert(s.filterShardsExist(s.head.get, 5))
+  }
+
   test("robots-via-join (scale form) produces the identical crawl to the map form") {
     val s = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-robotsjoin"))
     Crawler.run(spark, s, seeds, 3, cfg.copy(robotsViaJoin = true))

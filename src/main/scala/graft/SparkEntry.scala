@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.SyntheticWeb
 import graft.functions.{Multimodal, TextAnalysis}
-import graft.operators.{Crawler, Dedup, Similarity}
+import graft.operators.{Crawler, Curation, Dedup, Similarity}
 import graft.plans.Model.CrawlConfig
 import graft.sources.SnapshotStore
 
@@ -324,6 +324,23 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), col("kind"), col("width"), col("height"),
           length(col("media")).cast("long").as("byte_len"))),
+
+    // ---- corpus curation (Curation.scala; all oracle-checked) ----
+    "q_chunk_fixed" -> ((s, d) =>
+      Curation.chunkFixed(t(s, d, "documents"), chunkSize = 200, stride = 150)),
+    "q_sample_hash" -> ((s, d) =>
+      Curation.hashSample(t(s, d, "documents"), "012")
+        .select(col("doc_id"), col("lang"))),
+    "q_sample_stratified" -> ((s, d) =>
+      Curation.quotaPerGroup(t(s, d, "documents"), k = 30)),
+    "q_corpus_stats" -> ((s, d) =>
+      Curation.corpusStats(t(s, d, "documents"), bucketWidth = 100)),
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 4)
+    }),
   )
 
   /** DuckDB-runnable oracles for every ANSI-expressible query above. */
@@ -474,5 +491,41 @@ object SparkEntry {
         |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cosine
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |WHERE cosine >= 0.3""".stripMargin,
+
+    // ---- corpus curation: both sides sha256 (lower-hex in both engines),
+    // tokenization = split on single space (documents text is single-spaced
+    // by construction; pinned in Curation.shingleHashes scaladoc) ----
+    "q_chunk_fixed" ->
+      """WITH starts AS (
+        |  SELECT doc_id, text, unnest(range(1, n_chars+1, 150)) AS chunk_start
+        |  FROM documents)
+        |SELECT doc_id, CAST((chunk_start-1)/150 AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_start AS BIGINT) AS chunk_start,
+        |  CAST(length(substr(text, CAST(chunk_start AS INT), 200)) AS BIGINT) AS chunk_len,
+        |  sha256(substr(text, CAST(chunk_start AS INT), 200)) AS chunk_sha256
+        |FROM starts""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(sha256(text),1,1) IN ('0','1','2')""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 30""".stripMargin,
+    "q_corpus_stats" ->
+      """SELECT lang, CAST(floor(n_chars/100.0) AS BIGINT) AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest([sha256(array_to_string(toks[i:i+3], ' '))
+        |    for i in range(1, greatest(len(toks)-2, CAST(1 AS BIGINT)))]) AS h
+        |  FROM tok),
+        |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+        |corp AS (SELECT DISTINCT doc_id, h FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
+        |FROM corp JOIN bench USING (h) GROUP BY doc_id""".stripMargin,
   )
 }

@@ -111,4 +111,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("doc_id"), plan)
     assert(!plan.contains("struct<") || !plan.contains("text"), "pruning lost:\n" + plan)
   }
+
+  test("chunking and hash-sampling are narrow: zero exchanges in the plan") {
+    for (q <- Seq("q_chunk_fixed", "q_sample_hash")) {
+      val physical = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"), s"$q grew a shuffle:\n$physical")
+    }
+  }
+
+  test("decontamination broadcasts the benchmark shingle set (corpus never shuffled for the join)") {
+    val physical = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"), physical)
+    // the only allowed exchanges: benchmark-side distinct (tiny) and the
+    // final per-doc count agg — the corpus shingle stream itself must feed
+    // the broadcast join pipelined, without a corpus-wide repartition
+    assert(!physical.contains("SortMergeJoin"), physical)
+  }
 }

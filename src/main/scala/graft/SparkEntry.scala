@@ -99,6 +99,15 @@ object SparkEntry {
       operators.LinkGraph.hostEdges(
         operators.LinkGraph.edges(st.loadAllPages(st.head.getOrElse(0))))
     }),
+    // rank-driven reprioritization of the live frontier (LinkGraph.reprioritize)
+    "crawl_reprioritized" -> ((s, _) => {
+      val st = crawlStore(s)
+      val head = st.head.getOrElse(0)
+      val ranks = operators.LinkGraph.pageRank(
+        operators.LinkGraph.edges(st.loadAllPages(head)), iterations = 5)
+      operators.LinkGraph.reprioritize(st.loadFrontier(head), ranks)
+        .toDF().select(col("url"), col("priority"), col("next_fetch_ts"))
+    }),
 
     // ---- relational operator inventory (oracle-checked vs DuckDB) ----------
     "q_scan_filter" -> ((s, d) =>
@@ -262,6 +271,14 @@ object SparkEntry {
         count(lit(1)).as("n"))),
 
     // ---- training-data pipeline ops (hash-based → rows-only checks) --------
+    // incremental form: batch = doc_id >= 400 deduped against an index of the
+    // rest (hash-based → rows-only; equivalence to from-scratch is spec-tested)
+    "q_dedup_minhash_inc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.minHashPairsIncremental(
+        Dedup.minHashIndex(docs.filter(col("doc_id") < 400)),
+        docs.filter(col("doc_id") >= 400), threshold = 0.5)
+    }),
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minHashReport(t(s, d, "documents"))),
     "q_dedup_simhash" -> ((s, d) =>

@@ -73,6 +73,39 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Incremental near-dup: candidate pairs that TOUCH a new batch, against a
+    * persisted `minHashIndex` of the existing corpus — the form a 100 TB
+    * pipeline actually runs (signatures of the old corpus are computed once
+    * and stored; each ingest batch only pays for its own signatures plus the
+    * bucket join). Semantics: exactly
+    * `minHashPairs(existing ∪ new)` restricted to pairs with ≥1 new doc —
+    * the bucket cap is computed over the union, so results are identical to
+    * a from-scratch run (equivalence-tested in DedupSpec).
+    * Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, distinct. */
+  def minHashPairsIncremental(existingIndex: DataFrame, newDocs: DataFrame,
+      threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
+    val all = existingIndex.select(col("doc_id"), col("sig"), col("bands"))
+      .withColumn("is_new", lit(false))
+      .unionByName(minHashIndex(newDocs).withColumn("is_new", lit(true)))
+    val exploded = all.select(col("doc_id"), col("sig"), col("is_new"),
+      posexplode(col("bands")).as(Seq("band", "band_key")))
+    val buckets = exploded
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("band_key")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= maxBucket)
+    val a = buckets.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("is_new").as("new_a"))
+    val b = buckets.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("is_new").as("new_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b") && (col("new_a") || col("new_b")))
+      .select(col("doc_a"), col("doc_b"),
+        org.apache.spark.sql.graftexpr.SigAgree(col("sig_a"), col("sig_b"))
+          .as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Audit of the LSH skew guard: buckets over `maxBucket` and the candidate
     * rows the cap silently drops in `minHashPairs` (one summary row). Run on
     * demand — the pair query itself stays a single pass with no side job. */

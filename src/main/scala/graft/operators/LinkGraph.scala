@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-import graft.plans.Model.FetchResult
+import graft.plans.Model.{FetchResult, FrontierEntry}
 
 /** Link-graph analytics over crawled pages: the graph exists implicitly as
   * (page → outlinks) rows (SURVEY.md §1.1); these operators materialize it
@@ -81,5 +81,59 @@ object LinkGraph {
     vertices.unpersist(blocking = false)
     outDeg.unpersist(blocking = false)
     ranks
+  }
+
+  /** Rank-driven frontier reprioritization: map each ranked frontier URL's
+    * global rank percentile to a priority bucket (top percentile → priority
+    * `buckets-1`, bottom → 0); URLs without a rank row keep their current
+    * priority. `next_fetch_ts`, retries, etc. are untouched, so politeness
+    * and the re-enqueue contract are unaffected — only the dequeue order
+    * (priority DESC first key, §8.3) shifts toward high-rank pages.
+    *
+    * Scale shape: one hash join frontier⋈ranks on url, then the global
+    * percentile is assigned via range-repartition + per-partition offsets —
+    * the same no-single-reducer idiom as the crawler's global sequence
+    * (CrawlRound.assignGlobalSeq; the offsets collect is O(partitions)).
+    * Determinism: sort key (rank DESC, url_hash) is unique per frontier, so
+    * bucket assignment is independent of partition boundaries. */
+  def reprioritize(frontier: Dataset[FrontierEntry], ranks: DataFrame,
+      buckets: Int = 10): Dataset[FrontierEntry] = {
+    require(buckets >= 1, "need at least one priority bucket")
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    val joined = frontier.join(
+      ranks.select(col("url"), col("rank").cast("double").as("rank")),
+      Seq("url"), "left").persist()
+    val unranked = joined.filter(col("rank").isNull).drop("rank").as[FrontierEntry]
+    val ranked = joined.filter(col("rank").isNotNull)
+    val n = ranked.count()
+    val out: Dataset[FrontierEntry] = if (n == 0L) frontier else {
+      val parts = math.max(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, 1)
+      val sorted = ranked
+        .repartitionByRange(parts, col("rank").desc, col("url_hash"))
+        .sortWithinPartitions(col("rank").desc, col("url_hash"))
+        .drop("rank").as[FrontierEntry]
+        .persist()
+      val rdd = sorted.rdd
+      val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single((pid, it.size.toLong))
+      }.collect().sortBy(_._1)
+      val starts = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+        .sliding(2).collect { case Array((_, st), (pid, _)) => pid -> st }.toMap
+      val bc = spark.sparkContext.broadcast(starts)
+      val nb = buckets.toLong
+      val total = n
+      val rebucketed = spark.createDataset(rdd.mapPartitionsWithIndex { (pid, it) =>
+        var pos = bc.value.getOrElse(pid, 0L)
+        it.map { e =>
+          // pos 0 (best rank) → priority buckets-1; last → 0
+          val p = (nb - 1L - pos * nb / total).toInt
+          pos += 1
+          e.copy(priority = p)
+        }
+      })
+      rebucketed.unionByName(unranked)
+    }
+    out
   }
 }

@@ -30,6 +30,29 @@ class DedupSpec extends AnyFunSuite {
       === Set(0L, 2L, 3L, 4L, 5L))
   }
 
+  test("incremental minhash: equals from-scratch pairs restricted to the new batch") {
+    val existing = docs.filter($"doc_id" <= 3L)
+    val batch = docs.filter($"doc_id" >= 4L)
+      // planted near-dup of existing doc 0 arriving in the new batch
+      .union(Seq((6L, base.replace("fox", "wolf"))).toDF("doc_id", "text"))
+    val allDocs = existing.union(batch)
+    val idx = Dedup.minHashIndex(existing).persist()
+    val inc = Dedup.minHashPairsIncremental(idx, batch, threshold = 0.5)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val newIds = Set(4L, 5L, 6L)
+    val full = Dedup.minHashPairs(allDocs, threshold = 0.5)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(p => newIds.contains(p._1) || newIds.contains(p._2))
+    assert(inc === full)
+    // the planted near-dup is caught against the OLD corpus
+    assert(inc.exists { case (a, b, _) => a == 0L && b == 6L })
+    // and no old-old pair leaks into the incremental result
+    assert(inc.forall { case (a, b, _) => newIds.contains(a) || newIds.contains(b) })
+    idx.unpersist()
+  }
+
   test("minhash LSH: finds exact and near duplicates, no false pairs") {
     val pairs = Dedup.minHashPairs(docs, threshold = 0.5)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet

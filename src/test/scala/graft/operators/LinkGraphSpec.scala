@@ -54,4 +54,35 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(math.abs(pr.agg(sum($"rank")).as[Double].head() - 1.0) < 1e-6)
     e.unpersist()
   }
+
+  test("reprioritize: percentile buckets match the naive window; unranked rows untouched") {
+    import graft.plans.Model.FrontierEntry
+    def fe(i: Long) = FrontierEntry(s"https://h$i.example.com/", i, i, i,
+      s"h$i.example.com", priority = 5, next_fetch_ts = 1000L + i,
+      discovered_round = 0, retries = 0)
+    val frontier = spark.createDataset((0L until 40L).map(fe))
+    // rank 30 of the 40 urls; rank value grows with i, so high-i → high rank
+    val ranks = (0L until 30L).map(i => (s"https://h$i.example.com/", (i + 1) / 100.0))
+      .toDF("url", "rank")
+    val out = LinkGraph.reprioritize(frontier, ranks, buckets = 10).persist()
+    assert(out.count() === 40L)
+    // unranked urls (30..39) keep priority 5 and every other field
+    val untouched = out.filter($"url_hash" >= 30L).collect()
+    assert(untouched.length === 10 && untouched.forall(_.priority == 5))
+    // naive oracle: row_number over rank desc → bucket = (nb-1) - (rn-1)*nb/n
+    val got = out.filter($"url_hash" < 30L)
+      .select($"url_hash", $"priority").as[(Long, Int)].collect().toMap
+    val expected = (0L until 30L).map { i =>
+      val pos = 29L - i // i=29 has the best rank → pos 0
+      i -> (9L - pos * 10L / 30L).toInt
+    }.toMap
+    assert(got === expected)
+    // non-priority fields pass through unchanged
+    val r7 = out.filter($"url_hash" === 7L).head()
+    assert(r7.next_fetch_ts === 1007L && r7.retries === 0 && r7.host === "h7.example.com")
+    // single bucket degenerates to all-zero priorities for ranked rows
+    val one = LinkGraph.reprioritize(frontier, ranks, buckets = 1)
+    assert(one.filter($"url_hash" < 30L).select($"priority").distinct().as[Int].collect().toSeq === Seq(0))
+    out.unpersist()
+  }
 }

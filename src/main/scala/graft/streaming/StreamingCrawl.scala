@@ -40,6 +40,24 @@ object StreamingCrawl {
       .select(col("window.start").as("window_start"), col("lang"),
         col("n_pages"), col("text_chars"))
 
+  /** Streaming URL-seen dedup: drop re-discovered URLs across micro-batches
+    * — the streaming analogue of the batch rounds' URL-seen filter. Exact
+    * form: one state-store row per url_hash, unbounded — right for bounded
+    * backfills/replays; a 10^10-URL continuous frontier belongs to the batch
+    * rounds' sharded-bloom snapshots, not the state store. */
+  def dedupUrls(pages: DataFrame): DataFrame =
+    pages.withColumn("url_hash", xxhash64(col("url")))
+      .dropDuplicates(Seq("url_hash"))
+
+  /** Watermark-bounded variant: dedups within the late-arrival horizon only,
+    * so state is bounded by the event-time window — the form that runs
+    * indefinitely (duplicates separated by more than `lateness` pass; the
+    * downstream batch seen-filter remains the exactness backstop). */
+  def dedupUrlsWithinWatermark(pages: DataFrame, lateness: String = "1 hour"): DataFrame =
+    pages.withColumn("url_hash", xxhash64(col("url")))
+      .withWatermark("warc_ts", lateness)
+      .dropDuplicatesWithinWatermark("url_hash")
+
   final case class HostState(emitted: Long)
   final case class GateDecision(url: String, host: String, emitted_rank: Long)
 

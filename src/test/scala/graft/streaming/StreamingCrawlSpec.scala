@@ -84,4 +84,25 @@ class StreamingCrawlSpec extends AnyFunSuite {
       .filter($"m" > 3).count() === 0)
     assert(out.count() > 0)
   }
+
+  test("streaming url dedup drops re-discovered urls across micro-batches") {
+    val dir = Files.createTempDirectory("stream-dedup").toString
+    val ckpt = Files.createTempDirectory("stream-dckpt").toString
+    val first = mkPages(30, 7L)
+    spark.createDataset(first).write.parquet(s"$dir/b0")
+    val stream = StreamingCrawl.pageStream(spark, s"$dir/b0")
+    val q = StreamingCrawl.dedupUrls(stream)
+      .select($"url").writeStream
+      .outputMode("append").format("memory").queryName("dedup_urls")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    // second drop: 10 replayed urls + 15 genuinely new ones
+    spark.createDataset(first.take(10) ++ mkPages(15, 8L))
+      .write.mode("append").parquet(s"$dir/b0")
+    q.processAllAvailable()
+    q.stop()
+    val urls = spark.table("dedup_urls").as[String].collect()
+    assert(urls.length === urls.distinct.length, "a duplicate url was emitted")
+    assert(urls.toSet === (first ++ mkPages(15, 8L)).map(_.url).toSet)
+  }
 }

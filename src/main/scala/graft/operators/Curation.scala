@@ -84,6 +84,33 @@ object Curation {
         sum(col("n_chars")).cast("long").as("total_chars"),
         countDistinct(col("source")).as("n_sources"))
 
+  /** Deterministic training-shard export: writes the corpus under
+    * `path/shard=K/` for K in [0, nShards), shard = pmod(xxhash64(doc_id)),
+    * each shard sorted by doc_id — assignment depends only on doc_id, so
+    * the layout is stable across runs, input partitioning, and cluster
+    * sizes (the property a resumable training job needs to map shards to
+    * workers). Returns the per-shard manifest
+    * (shard, n_docs, n_chars, id_digest) — id_digest is an order-insensitive
+    * xor fold of doc_id hashes, so two exports can be compared without
+    * reading data files.
+    *
+    * Scale: one hash shuffle on the shard key, then a partitioned write —
+    * shard sizes are balanced by hash uniformity; nShards chosen as
+    * corpus_bytes / target_shard_bytes (e.g. ~1 GB shards). */
+  def exportShards(docs: DataFrame, path: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, "need at least one shard")
+    val sharded = docs
+      .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(nShards.toLong)))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+    sharded.sparkSession.read.parquet(path)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        expr("bit_xor(xxhash64(doc_id))").as("id_digest"))
+  }
+
   /** Distinct word-shingle sha256 hashes per doc: tokens = split on single
     * space (the normative tokenizer for cross-engine parity), shingle =
     * `n` consecutive tokens joined by one space. Docs shorter than n tokens

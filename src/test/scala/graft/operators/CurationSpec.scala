@@ -99,6 +99,26 @@ class CurationSpec extends AnyFunSuite {
     assert(byDoc(3L) === 1L) // "tok tok tok tok" repeated -> 1 distinct shingle
   }
 
+  test("exportShards: layout deterministic across input partitioning; no doc lost") {
+    val many = mkDocs((0L until 300L).map(i =>
+      (i, s"doc body $i", "en", s"s${i % 5}")))
+    val dir1 = graft.SparkTestSession.tempDir("shards1")
+    val dir2 = graft.SparkTestSession.tempDir("shards2")
+    val m1 = Curation.exportShards(many, dir1, nShards = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // same corpus arriving with a different physical partitioning
+    val m2 = Curation.exportShards(many.repartition(17), dir2, nShards = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(m1 === m2, "shard manifest depends on input partitioning")
+    assert(m1.toSeq.map(_._2).sum === 300L)
+    assert(m1.map(_._1) === (0L until 8L).toSet)
+    // every doc present exactly once across the exported files
+    val readBack = spark.read.parquet(dir1).select("doc_id").as[Long].collect()
+    assert(readBack.length === 300 && readBack.toSet.size === 300)
+    // hash balance: no shard more than 2x the ideal size on 300 docs
+    assert(m1.map(_._2).max <= 2 * (300 / 8 + 1))
+  }
+
   test("decontaminate: planted benchmark overlap flagged with exact count") {
     val corpus = mkDocs(Seq(
       (0L, "clean document with totally original content about spark shuffles", "en", "s0"),

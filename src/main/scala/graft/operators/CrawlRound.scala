@@ -255,8 +255,33 @@ object CrawlRound {
       }
     val w2 = Window.partitionBy($"host").orderBy(ord: _*)
     val hostRanked = phase1Kept.withColumn("host_rank", row_number().over(w2)).persist()
-    val budgetKept = hostRanked.filter($"host_rank" <= cfg.hostBudget)
-    val budgetDropped = hostRanked.filter($"host_rank" > cfg.hostBudget)
+    // opt-in adaptive backoff: hosts over the error-rate threshold in the
+    // PREVIOUS round's pages get half budget (floor 1). The reduced-budget
+    // host list is O(bad hosts) and joined (AQE broadcasts it while small);
+    // phase 1 above still caps at the FULL budget, so its keep-proof is
+    // unaffected (eff_budget <= hostBudget always).
+    val backoffHosts: Option[org.apache.spark.sql.DataFrame] =
+      if (!cfg.adaptiveBackoff) None
+      else scala.util.Try {
+        val prev = store.loadPages(k).toDF()
+        val reduced = math.max(cfg.hostBudget / 2, 1)
+        prev.groupBy($"host")
+          .agg((sum(when($"status" =!= 200, 1.0).otherwise(0.0)) / count(lit(1)))
+            .as("err_rate"))
+          .filter($"err_rate" > cfg.backoffErrorRate)
+          .select($"host", lit(reduced).as("eff_budget"))
+      }.toOption
+    val (budgetKept, budgetDropped) = backoffHosts match {
+      case None =>
+        (hostRanked.filter($"host_rank" <= cfg.hostBudget),
+          hostRanked.filter($"host_rank" > cfg.hostBudget))
+      case Some(bh) =>
+        val withB = hostRanked.join(bh, Seq("host"), "left")
+          .withColumn("eff_budget",
+            coalesce($"eff_budget", lit(cfg.hostBudget)))
+        (withB.filter($"host_rank" <= $"eff_budget").drop("eff_budget"),
+          withB.filter($"host_rank" > $"eff_budget").drop("eff_budget"))
+    }
 
     // W2 schedule + O3 round cap + §8.3 global sequence over gated rows
     val preTasks = budgetKept

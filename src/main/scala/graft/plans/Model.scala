@@ -149,7 +149,15 @@ object Model {
       // O(total/n), the 10^10-URL form (a 1%-fpp bloom over 10^10 keys is
       // ~12 GB — unbroadcastable whole). Identical crawl output (the exact
       // anti-join backstop is unchanged; equivalence-tested).
-      filterShards: Int = 0)
+      filterShards: Int = 0,
+      // opt-in adaptive politeness: a host whose fetch-error rate in the
+      // PREVIOUS round exceeded backoffErrorRate gets half the host budget
+      // this round (floor 1) — the standard crawler reaction to failing /
+      // throttling hosts. Off by default: the goldens pin the fixed-budget
+      // behavior, and with the threshold never exceeded the crawl is
+      // byte-identical (equivalence-tested).
+      adaptiveBackoff: Boolean = false,
+      backoffErrorRate: Double = 0.5)
 
   /** round_ts(k) — rounds tick on a fixed cadence so deferred entries
     * (next_fetch_ts = round_ts + budget*delay) come due by the next round. */

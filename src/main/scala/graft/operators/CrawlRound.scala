@@ -414,7 +414,14 @@ object CrawlRound {
     // notDue ⟂ deferred by the due filter) — plain union, no merge shuffle.
     // Persisted because the range write needs two passes (boundary sampling +
     // the shuffle itself) and must not recompute the union branches.
-    val nextFrontier = notDue.unionByName(deferred).unionByName(newEntries).persist()
+    // Delta mode skips the persist: the full union is only consumed on the
+    // rare fallback count — caching 10^10 rows for that would defeat the
+    // point of the log-structured layout.
+    val deltaMode = cfg.frontierDeltas &&
+      (k + 1) % math.max(cfg.compactFrontierEvery, 1) != 0
+    val nextFrontier =
+      if (deltaMode) notDue.unionByName(deferred).unionByName(newEntries)
+      else notDue.unionByName(deferred).unionByName(newEntries).persist()
 
     // --- commit snapshot k+1 ------------------------------------------------
     // The snapshot outputs (frontier / seen delta / compaction / pages /
@@ -502,7 +509,20 @@ object CrawlRound {
       def fut(body: => Unit): Future[Unit] = Future(scala.concurrent.blocking(body))
       val outputs = Seq(
         fut((traced("write-frontier")(
-          orderedFrontierWrite(nextFrontier, pending.frontierPath)))),
+          if (deltaMode) {
+            // churn only: upserts (deferred + newly discovered) and removals
+            // (fetched this round + robots-denied). Each url appears at most
+            // once (the sets are disjoint); no range shuffle — the full
+            // rewrite happens on compaction rounds.
+            val upserts = deferred.toDF().select(frontierCols: _*)
+              .unionByName(newEntries.toDF().select(frontierCols: _*))
+              .withColumn("op", lit("u"))
+            val removals = tasks.toDF().select(frontierCols: _*)
+              .unionByName(withRobots.filter(!$"robots_ok")
+                .select(frontierCols: _*))
+              .withColumn("op", lit("r"))
+            upserts.unionByName(removals).write.parquet(pending.frontierDeltaPath)
+          } else orderedFrontierWrite(nextFrontier, pending.frontierPath)))),
         fut((traced("write-seen")(
           newSeen.write.parquet(pending.seenDeltaPath)))),
         fut((traced("write-pages")(
@@ -527,7 +547,8 @@ object CrawlRound {
     val prevFrontierSize = manifestField(store, k, "frontier_size")
     val prevSeenSize = manifestField(store, k, "seen_size")
     val nFrontier = prevFrontierSize.map(_ - nDue + nDeferred + nNew)
-      .getOrElse(spark.read.parquet(pending.frontierPath).count())
+      .getOrElse(if (deltaMode) nextFrontier.count()
+        else spark.read.parquet(pending.frontierPath).count())
     val nSeen = prevSeenSize.map(_ + nNew).getOrElse(seen.count() + nNew)
     val metrics = RoundMetrics(k, nDue, robotsDenied, nFetched,
       nDeferred, nFetched, nErrors, nLinks, nLinks - nCand, nNew,

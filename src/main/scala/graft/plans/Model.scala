@@ -157,7 +157,17 @@ object Model {
       // behavior, and with the threshold never exceeded the crawl is
       // byte-identical (equivalence-tested).
       adaptiveBackoff: Boolean = false,
-      backoffErrorRate: Double = 0.5)
+      backoffErrorRate: Double = 0.5,
+      // opt-in log-structured frontier: non-compaction snapshots write only
+      // this round's CHURN (deferred + new upserts, fetched/denied removals)
+      // as `frontier_delta/`; every compactFrontierEvery-th snapshot
+      // rewrites the full range-ordered table. At the 10^10-row design
+      // point this turns the per-round O(frontier) range shuffle+rewrite
+      // into O(churn), paid back by a bloom-routed merge-on-read
+      // (SnapshotStore.loadFrontier). Identical crawl output
+      // (equivalence-tested).
+      frontierDeltas: Boolean = false,
+      compactFrontierEvery: Int = 8)
 
   /** round_ts(k) — rounds tick on a fixed cadence so deferred entries
     * (next_fetch_ts = round_ts + budget*delay) come due by the next round. */

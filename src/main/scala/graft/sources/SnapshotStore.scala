@@ -49,13 +49,67 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     if (Files.exists(headPath)) Some(Files.readString(headPath).trim.toInt) else None
 
   def frontierPath(k: Int): String = snapDir(k).resolve("frontier").toString
+  def frontierDeltaPath(k: Int): String = snapDir(k).resolve("frontier_delta").toString
   def seenDeltaPath(k: Int): String = snapDir(k).resolve("seen_delta").toString
   def seenFullPath(k: Int): String = snapDir(k).resolve("seen_full").toString
   def pagesPath(k: Int): String = snapDir(k).resolve("pages").toString
   def lineagePath(k: Int): String = snapDir(k).resolve("lineage").toString
 
-  def loadFrontier(k: Int): Dataset[FrontierEntry] =
-    spark.read.parquet(frontierPath(k)).as[FrontierEntry]
+  /** Frontier at snapshot k. Two layouts:
+    *
+    *  - FULL (default): `frontier/` holds the whole table, range-ordered.
+    *  - LOG-STRUCTURED (CrawlConfig.frontierDeltas): only every
+    *    `compactFrontierEvery`-th snapshot carries a full `frontier/`
+    *    (the base); the others carry `frontier_delta/` = this round's CHURN
+    *    (op "u" = upserted row — deferred or newly discovered; op "r" =
+    *    removed row — fetched or robots-denied). The current frontier is
+    *    base minus touched urls plus the latest upserts — each url is
+    *    touched at most once per round, so "latest delta wins".
+    *
+    * Reconstruction cost is O(base scan) + O(churn): the base never
+    * shuffles — a bloom over the delta keys routes only suspect base rows
+    * into the exact 128-bit anti-join (same pattern as the URL-seen probe).
+    * At the 10^10-row design point this replaces the full-frontier range
+    * shuffle+rewrite per round with a churn-sized write (the shuffle returns
+    * only on compaction rounds) at the price of this merge-on-read. */
+  def loadFrontier(k: Int): Dataset[FrontierEntry] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    if (Files.exists(Paths.get(frontierPath(k))))
+      spark.read.parquet(frontierPath(k)).as[FrontierEntry]
+    else {
+      val b = (k to 0 by -1).find(i => Files.exists(Paths.get(frontierPath(i))))
+        .getOrElse(throw new IllegalStateException(
+          s"no full frontier base at or before snapshot $k"))
+      val deltas = ((b + 1) to k).flatMap { i =>
+        val p = frontierDeltaPath(i)
+        if (Files.exists(Paths.get(p)))
+          Some(spark.read.parquet(p).withColumn("delta_seq", lit(i)))
+        else None
+      }
+      val base = spark.read.parquet(frontierPath(b))
+      if (deltas.isEmpty) base.as[FrontierEntry]
+      else {
+        val all = deltas.reduce(_ unionByName _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"url_hash_hi", $"url_hash_lo").orderBy($"delta_seq".desc)
+        val latest = all.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        val upserts = latest.filter($"op" === "u").drop("op", "delta_seq", "rn")
+        val touched = latest.select($"url_hash_hi", $"url_hash_lo")
+        // bloom-route: only base rows that might be touched pay the exact
+        // anti-join; clean rows (the overwhelming majority) stream through
+        val bf = all.select($"url_hash")
+          .stat.bloomFilter("url_hash", math.max(all.count(), 64L), 0.01)
+        val bc = spark.sparkContext.broadcast(bf)
+        val might = org.apache.spark.sql.functions
+          .udf((h: Long) => bc.value.mightContainLong(h))
+        val clean = base.filter(!might($"url_hash"))
+        val survivors = base.filter(might($"url_hash"))
+          .join(touched, Seq("url_hash_hi", "url_hash_lo"), "left_anti")
+        clean.unionByName(survivors).unionByName(upserts).as[FrontierEntry]
+      }
+    }
+  }
 
   /** Exact cumulative URL-seen set at snapshot k.
     *
@@ -135,6 +189,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     Files.createDirectories(dir)
 
     def frontierPath: String = dir.resolve("frontier").toString
+    def frontierDeltaPath: String = dir.resolve("frontier_delta").toString
     def seenDeltaPath: String = dir.resolve("seen_delta").toString
     def seenFullPath: String = dir.resolve("seen_full").toString
     def pagesPath: String = dir.resolve("pages").toString

@@ -17,6 +17,7 @@ object SoakCheck {
     val rounds = args.headOption.getOrElse("8").toInt
     val filterKind = args.lift(1).getOrElse("bloom")
     val shards = args.lift(2).getOrElse("0").toInt
+    val frontierDeltas = args.lift(3).contains("deltas")
     val spark = SparkSession.builder().master("local[8]")
       .appName("soak").config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -36,7 +37,8 @@ object SoakCheck {
     rm(java.nio.file.Paths.get(dir))
     val store = new SnapshotStore(spark, dir)
     val cfg = CrawlConfig(roundCap = 400, compactSeenEvery = 3,
-      filterKind = filterKind, filterShards = shards)
+      filterKind = filterKind, filterShards = shards,
+      frontierDeltas = frontierDeltas, compactFrontierEvery = 3)
     Crawler.run(spark, store, SyntheticWeb.seeds(20), rounds, cfg)
 
     var failures = 0

@@ -303,6 +303,17 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) =>
       Similarity.cosinePairs(t(s, d, "embeddings"), threshold = 0.3,
         roundTo = 6)),
+    // dedup-group resolution: connected components over the exact cosine
+    // pair graph (threshold 0.38 → 72 non-trivial groups at sf0.01);
+    // oracle = DuckDB recursive-CTE transitive closure
+    "q_dedup_groups" -> ((s, d) => {
+      val pairs = Similarity.cosinePairs(t(s, d, "embeddings"),
+          threshold = 0.38, roundTo = 6)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.nearDupGroups(pairs)
+        .select(col("doc_id").cast("long").as("vec_id"),
+          col("group_id").cast("long").as("group_id"))
+    }),
     "q_dedup_embedding_lsh" -> ((s, d) =>
       Similarity.cosinePairsLsh(t(s, d, "embeddings"), threshold = 0.3,
         roundTo = 6)),
@@ -508,6 +519,25 @@ object SparkEntry {
         |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cosine
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |WHERE cosine >= 0.3""".stripMargin,
+
+    // components via recursive-CTE transitive closure; group_id = min id in
+    // the component, matching Dedup.nearDupGroups' min-label propagation
+    "q_dedup_groups" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT vec_a, vec_b FROM (
+        |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |      round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |    FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |  WHERE cosine >= 0.38),
+        |e AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+        |      UNION SELECT vec_b AS a, vec_a AS b FROM pairs),
+        |walk(node, reach) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT w.node, e2.b FROM walk w JOIN e e2 ON w.reach = e2.a)
+        |SELECT node AS vec_id, least(node, min(reach)) AS group_id
+        |FROM walk GROUP BY node""".stripMargin,
 
     // ---- corpus curation: both sides sha256 (lower-hex in both engines),
     // tokenization = split on single space (documents text is single-spaced

@@ -106,6 +106,51 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair graph → dedup groups:
+    * (doc_id, group_id) with group_id = the smallest doc_id in the
+    * component (the canonical keeper). Min-label propagation — each
+    * iteration is one join + one aggregation, lineage truncated via
+    * localCheckpoint (the PageRank idiom); converges in O(component
+    * diameter) iterations, and near-dup components are shallow in practice.
+    * Only docs that appear in a pair are emitted — unpaired docs are their
+    * own keeper by definition (see `nearDupKeep`). */
+  def nearDupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("group_id", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("group_id").as("g")), "dst")
+        .groupBy(col("src")).agg(min(col("g")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("doc_id"), col("group_id").as("old")), Seq("doc_id"))
+        .filter(col("group_id") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Near-dup keeper selection: the deduplicated corpus — every unpaired doc
+    * plus, per near-dup component, only its smallest doc_id. */
+  def nearDupKeep(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val losers = nearDupGroups(pairs, maxIter)
+      .filter(col("group_id") =!= col("doc_id")).select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Audit of the LSH skew guard: buckets over `maxBucket` and the candidate
     * rows the cap silently drops in `minHashPairs` (one summary row). Run on
     * demand — the pair query itself stays a single pass with no side job. */

@@ -53,6 +53,31 @@ class DedupSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("near-dup groups: connected components resolve to min-id keepers") {
+    // components: chain 1-2-3-4 (one group), pair 10-11, star 20-(21,22,23)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (20L, 23L))
+      .toDF("doc_a", "doc_b")
+    val groups = Dedup.nearDupGroups(pairs).as[(Long, Long)].collect().toMap
+    assert(groups === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // keeper selection over a corpus containing paired + unpaired docs
+    val corpus = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L, 22L, 23L, 99L))
+      .map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val kept = Dedup.nearDupKeep(corpus, pairs).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept === Set(1L, 10L, 20L, 99L)) // one keeper per group + unpaired
+  }
+
+  test("near-dup groups: end-to-end over minhash pairs of the planted corpus") {
+    val pairs = Dedup.minHashPairs(docs, threshold = 0.5)
+    val groups = Dedup.nearDupGroups(pairs).as[(Long, Long)].collect().toMap
+    // docs 0,1,2 are one near-dup family -> all label 0
+    assert(groups.keySet.subsetOf(Set(0L, 1L, 2L)))
+    assert(groups.values.forall(_ == 0L))
+    assert(Dedup.nearDupKeep(docs, pairs).count() === docs.count() - (groups.size - 1))
+  }
+
   test("minhash LSH: finds exact and near duplicates, no false pairs") {
     val pairs = Dedup.minHashPairs(docs, threshold = 0.5)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet

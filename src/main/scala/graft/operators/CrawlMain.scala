@@ -11,6 +11,8 @@ import graft.sources.SnapshotStore
   *   spark-submit --class graft.operators.CrawlMain … \
   *     --base /path/to/store --rounds 5 [--seeds 20] [--host-budget 4]
   *     [--round-cap 500] [--no-bloom] [--cpus N]
+  *     [--filter-kind bloom|cuckoo] [--filter-shards N]
+  *     [--frontier-deltas] [--adaptive-backoff] [--robots-via-join]
   *
   * Runs (or resumes — the store's HEAD decides) the crawl until `rounds`
   * rounds are committed, printing one metrics line per round. On a real
@@ -19,9 +21,16 @@ import graft.sources.SnapshotStore
   */
 object CrawlMain {
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
+    // valueless flags must be split out BEFORE the sliding-pair parse: a
+    // bare flag inside the arg list would shift every later (key, value)
+    // pair by one and silently corrupt the options after it
+    val flagNames = Set("no-bloom", "frontier-deltas", "adaptive-backoff",
+      "robots-via-join")
+    val (flagArgs, kvArgs) =
+      args.partition(a => a.startsWith("--") && flagNames.contains(a.drop(2)))
+    val opts = kvArgs.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap ++ (if (args.contains("--no-bloom")) Map("no-bloom" -> "true") else Map.empty)
+    }.toMap ++ flagArgs.map(a => a.drop(2) -> "true")
 
     val base = opts.getOrElse("base", sys.error("--base <dir> required"))
     val rounds = opts.getOrElse("rounds", "3").toInt
@@ -29,7 +38,12 @@ object CrawlMain {
     val cfg = CrawlConfig(
       hostBudget = opts.getOrElse("host-budget", "4").toInt,
       roundCap = opts.getOrElse("round-cap", "500").toInt,
-      useBloom = !opts.contains("no-bloom"))
+      useBloom = !opts.contains("no-bloom"),
+      filterKind = opts.getOrElse("filter-kind", "bloom"),
+      filterShards = opts.getOrElse("filter-shards", "0").toInt,
+      frontierDeltas = opts.contains("frontier-deltas"),
+      adaptiveBackoff = opts.contains("adaptive-backoff"),
+      robotsViaJoin = opts.contains("robots-via-join"))
     val cpus = opts.getOrElse("cpus",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
 

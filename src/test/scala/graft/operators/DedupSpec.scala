@@ -69,6 +69,12 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === Set(1L, 10L, 20L, 99L)) // one keeper per group + unpaired
   }
 
+  test("near-dup groups: a 60-node chain converges (path shortcutting)") {
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val groups = Dedup.nearDupGroups(chain).as[(Long, Long)].collect().toMap
+    assert(groups.size === 60 && groups.values.forall(_ == 0L))
+  }
+
   test("near-dup groups: end-to-end over minhash pairs of the planted corpus") {
     val pairs = Dedup.minHashPairs(docs, threshold = 0.5)
     val groups = Dedup.nearDupGroups(pairs).as[(Long, Long)].collect().toMap

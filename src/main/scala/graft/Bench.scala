@@ -162,6 +162,13 @@ object Bench {
     // starved, which distorts the attempt's lo/hi pairing in either direction
     val CeilingLo = 0.7
     val CeilingHi = 1.3
+    // an attempt's OWN efficiency above ~1 is equally disqualifying: the
+    // engine cannot scale super-linearly, so eff > EffHi means the LO crawl
+    // round itself was starved in a way the adjacent kernel sample missed
+    // (measured: a lo round at 1.8x its normal wall produced "eff 1.31"
+    // under an in-band ceiling of 0.77). Such attempts never early-stop and
+    // are only reported if NO plausible attempt exists.
+    val EffHi = 1.05
     case class Attempt(dLo: Long, sLo: Double, dHi: Long, sHi: Double,
         rawL: Double, rawH: Double, eff: Double, ceil: Double)
     val runs = scala.collection.mutable.ArrayBuffer.empty[Attempt]
@@ -169,7 +176,8 @@ object Bench {
     var i = 0
     while (i < attempts &&
         (i == 0 || (System.nanoTime() - crawlT0) / 1e9 < crawlBudgetSec) &&
-        !runs.exists(a => a.eff >= 0.8 && a.ceil >= CeilingLo && a.ceil <= CeilingHi)) {
+        !runs.exists(a => a.eff >= 0.8 && a.eff <= EffHi &&
+          a.ceil >= CeilingLo && a.ceil <= CeilingHi)) {
       val rawL = rawKernel(nLo)
       val (dLo, sLo) = crawlRound(nLo, benchUrls)
       val rawH = rawKernel(nHi)
@@ -179,8 +187,12 @@ object Bench {
       runs += Attempt(dLo, sLo, dHi, sHi, rawL, rawH, e, c)
       i += 1
     }
-    val healthy = runs.filter(a => a.ceil >= CeilingLo && a.ceil <= CeilingHi)
-    val best = (if (healthy.nonEmpty) healthy else runs).maxBy(_.eff)
+    val healthy = runs.filter(a =>
+      a.ceil >= CeilingLo && a.ceil <= CeilingHi && a.eff <= EffHi)
+    val plausible = runs.filter(_.eff <= EffHi)
+    val best = (if (healthy.nonEmpty) healthy
+      else if (plausible.nonEmpty) plausible
+      else runs).maxBy(_.eff)
     val (doneLo, secLo, doneHi, secHi, rawLo, rawHi, eff) =
       (best.dLo, best.sLo, best.dHi, best.sHi, best.rawL, best.rawH, best.eff)
     val thptLo = doneLo / secLo

@@ -21,15 +21,26 @@ import graft.sources.SnapshotStore
   */
 object CrawlMain {
   def main(args: Array[String]): Unit = {
-    // valueless flags must be split out BEFORE the sliding-pair parse: a
-    // bare flag inside the arg list would shift every later (key, value)
-    // pair by one and silently corrupt the options after it
+    // valueless flags must be split out BEFORE the pair parse: a bare flag
+    // inside the arg list would shift every later (key, value) pair by one
+    // and silently corrupt the options after it. Anything unrecognized,
+    // a value that looks like a key, or a dangling key fails LOUDLY —
+    // a typo'd option must never silently fall back to a default.
     val flagNames = Set("no-bloom", "frontier-deltas", "adaptive-backoff",
       "robots-via-join")
+    val keyNames = Set("base", "rounds", "seeds", "host-budget", "round-cap",
+      "filter-kind", "filter-shards", "cpus")
     val (flagArgs, kvArgs) =
       args.partition(a => a.startsWith("--") && flagNames.contains(a.drop(2)))
-    val opts = kvArgs.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    if (kvArgs.length % 2 != 0)
+      sys.error(s"dangling option at end of: ${kvArgs.mkString(" ")}")
+    val opts = kvArgs.grouped(2).map {
+      case Array(k, v) if k.startsWith("--") && keyNames.contains(k.drop(2)) =>
+        if (v.startsWith("--"))
+          sys.error(s"option $k is missing its value (got '$v')")
+        k.drop(2) -> v
+      case Array(k, _) =>
+        sys.error(s"unknown option '$k' (known: ${(keyNames ++ flagNames).toSeq.sorted.mkString(", ")})")
     }.toMap ++ flagArgs.map(a => a.drop(2) -> "true")
 
     val base = opts.getOrElse("base", sys.error("--base <dir> required"))

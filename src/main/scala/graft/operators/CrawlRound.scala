@@ -260,17 +260,22 @@ object CrawlRound {
     // host list is O(bad hosts) and joined (AQE broadcasts it while small);
     // phase 1 above still caps at the FULL budget, so its keep-proof is
     // unaffected (eff_budget <= hostBudget always).
+    // every init path writes a (possibly empty) pages table, so a missing
+    // dir is the only no-signal case — any other failure (corrupt parquet,
+    // schema drift) must propagate, not silently disable the backoff
     val backoffHosts: Option[org.apache.spark.sql.DataFrame] =
-      if (!cfg.adaptiveBackoff) None
-      else scala.util.Try {
+      if (!cfg.adaptiveBackoff ||
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(store.pagesPath(k))))
+        None
+      else {
         val prev = store.loadPages(k).toDF()
         val reduced = math.max(cfg.hostBudget / 2, 1)
-        prev.groupBy($"host")
+        Some(prev.groupBy($"host")
           .agg((sum(when($"status" =!= 200, 1.0).otherwise(0.0)) / count(lit(1)))
             .as("err_rate"))
           .filter($"err_rate" > cfg.backoffErrorRate)
-          .select($"host", lit(reduced).as("eff_budget"))
-      }.toOption
+          .select($"host", lit(reduced).as("eff_budget")))
+      }
     val (budgetKept, budgetDropped) = backoffHosts match {
       case None =>
         (hostRanked.filter($"host_rank" <= cfg.hostBudget),

@@ -94,9 +94,13 @@ object Curation {
     * xor fold of doc_id hashes, so two exports can be compared without
     * reading data files.
     *
-    * Scale: one hash shuffle on the shard key, then a partitioned write —
+    * Scale: one hash shuffle on the shard key, then a partitioned write;
     * shard sizes are balanced by hash uniformity; nShards chosen as
-    * corpus_bytes / target_shard_bytes (e.g. ~1 GB shards). */
+    * corpus_bytes / target_shard_bytes (e.g. ~1 GB shards). The manifest is
+    * DELIBERATELY computed by re-reading the written files — a second full
+    * scan — so it attests what is actually on disk (the artifact a training
+    * job consumes), not what the writer intended; skip the returned manifest
+    * if that audit pass is not worth the IO. */
   def exportShards(docs: DataFrame, path: String, nShards: Int): DataFrame = {
     require(nShards >= 1, "need at least one shard")
     val sharded = docs

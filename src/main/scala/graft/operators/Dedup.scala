@@ -145,6 +145,9 @@ object Dedup {
       changed = next
         .join(labels.select(col("doc_id"), col("group_id").as("old")), Seq("doc_id"))
         .filter(col("group_id") =!= col("old")).count()
+      // free the superseded iteration's checkpointed blocks — otherwise the
+      // loop pins one full label-table copy per iteration
+      org.apache.spark.sql.graftexpr.IterUtils.unpersistCheckpoint(labels)
       labels = next
       i += 1
     }

@@ -75,6 +75,9 @@ object LinkGraph {
             lit(damping) * (coalesce(col("in_mass"), lit(0.0)) + lit(dangling / n)))
             .as("rank"))
         .localCheckpoint(true)
+      // free the superseded iteration's checkpointed blocks (same storage
+      // hygiene as Dedup.nearDupGroups — one copy per iteration otherwise)
+      org.apache.spark.sql.graftexpr.IterUtils.unpersistCheckpoint(ranks)
       ranks = next
       i += 1
     }

@@ -81,11 +81,17 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       val b = (k to 0 by -1).find(i => Files.exists(Paths.get(frontierPath(i))))
         .getOrElse(throw new IllegalStateException(
           s"no full frontier base at or before snapshot $k"))
-      val deltas = ((b + 1) to k).flatMap { i =>
+      // every snapshot after the base MUST carry a delta (the writer emits
+      // exactly one of frontier/ or frontier_delta/ per snapshot) — a hole
+      // in the chain means lost removals/upserts, so fail loudly rather
+      // than reconstruct a silently wrong frontier
+      val deltas = ((b + 1) to k).map { i =>
         val p = frontierDeltaPath(i)
-        if (Files.exists(Paths.get(p)))
-          Some(spark.read.parquet(p).withColumn("delta_seq", lit(i)))
-        else None
+        if (!Files.exists(Paths.get(p)))
+          throw new IllegalStateException(
+            s"frontier delta chain broken: snapshot $i has neither " +
+              "frontier/ nor frontier_delta/ " + s"(base at $b, target $k)")
+        spark.read.parquet(p).withColumn("delta_seq", lit(i))
       }
       val base = spark.read.parquet(frontierPath(b))
       if (deltas.isEmpty) base.as[FrontierEntry]

@@ -42,12 +42,19 @@ object StreamingCrawl {
 
   /** Streaming URL-seen dedup: drop re-discovered URLs across micro-batches
     * — the streaming analogue of the batch rounds' URL-seen filter. Exact
-    * form: one state-store row per url_hash, unbounded — right for bounded
+    * form: one state-store row per URL, unbounded — right for bounded
     * backfills/replays; a 10^10-URL continuous frontier belongs to the batch
-    * rounds' sharded-bloom snapshots, not the state store. */
+    * rounds' sharded-bloom snapshots, not the state store.
+    *
+    * State keys on the url STRING, not a 64-bit hash: at the 10^10-URL
+    * design point xxh64 has expected birthday collisions, and a collision
+    * here silently drops a genuinely new page (the repo reserves xxh64 for
+    * ordering/bloom routing and 128-bit keys for exact identity —
+    * CrawlRound header). The url_hash column is still emitted for
+    * downstream routing. */
   def dedupUrls(pages: DataFrame): DataFrame =
     pages.withColumn("url_hash", xxhash64(col("url")))
-      .dropDuplicates(Seq("url_hash"))
+      .dropDuplicates(Seq("url"))
 
   /** Watermark-bounded variant: dedups within the late-arrival horizon only,
     * so state is bounded by the event-time window — the form that runs
@@ -56,7 +63,7 @@ object StreamingCrawl {
   def dedupUrlsWithinWatermark(pages: DataFrame, lateness: String = "1 hour"): DataFrame =
     pages.withColumn("url_hash", xxhash64(col("url")))
       .withWatermark("warc_ts", lateness)
-      .dropDuplicatesWithinWatermark("url_hash")
+      .dropDuplicatesWithinWatermark("url")
 
   final case class HostState(emitted: Long)
   final case class GateDecision(url: String, host: String, emitted_rank: Long)

@@ -54,6 +54,23 @@ class FrontierDeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("a hole in the delta chain fails loudly instead of reconstructing wrong") {
+    val store = crawl(deltaCfg, "fdelta-hole")
+    // snapshot 4 carries a delta (3 is the compaction base); removing it
+    // breaks the chain for any read at >= 4
+    import java.nio.file.{Files, Paths}
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(rm) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(store.frontierDeltaPath(4)))
+    val e = intercept[IllegalStateException](store.loadFrontier(5).count())
+    assert(e.getMessage.contains("chain broken"))
+  }
+
   test("resume mid-delta-chain from a fresh store handle is identical") {
     val a = new SnapshotStore(spark, SparkTestSession.tempDir("fdelta-resume-a"))
     Crawler.run(spark, a, SyntheticWeb.seeds(12), rounds, deltaCfg)

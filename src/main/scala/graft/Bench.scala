@@ -187,18 +187,41 @@ object Bench {
       runs += Attempt(dLo, sLo, dHi, sHi, rawL, rawH, e, c)
       i += 1
     }
+    // round-level starvation check (needs >= 2 attempts to bite): the same
+    // round on the same input has a stable wall in a healthy window, so a
+    // round > 1.5x the FASTEST observed wall at its level was starved even
+    // when the adjacent kernel samples were in-band (measured: a hi round
+    // at 201 s vs 31.5 s typical under an in-band 0.775 ceiling produced
+    // "eff 0.146"; the symmetric lo case produced "eff 1.356")
+    val minLo = runs.map(_.sLo).min
+    val minHi = runs.map(_.sHi).min
+    def roundsHealthy(a: Attempt): Boolean =
+      a.sLo <= 1.5 * minLo && a.sHi <= 1.5 * minHi
     val healthy = runs.filter(a =>
-      a.ceil >= CeilingLo && a.ceil <= CeilingHi && a.eff <= EffHi)
-    val plausible = runs.filter(_.eff <= EffHi)
+      a.ceil >= CeilingLo && a.ceil <= CeilingHi && a.eff <= EffHi &&
+        roundsHealthy(a))
+    val plausible = runs.filter(a => a.eff <= EffHi && roundsHealthy(a))
+    // last resort when EVERY attempt had a starved round: pair the fastest
+    // lo round with the fastest hi round across attempts — the best
+    // available estimate of unstarved walls, disclosed via `pairing`
+    val crossPair = healthy.isEmpty && plausible.isEmpty
     val best = (if (healthy.nonEmpty) healthy
       else if (plausible.nonEmpty) plausible
       else runs).maxBy(_.eff)
     val (doneLo, secLo, doneHi, secHi, rawLo, rawHi, eff) =
-      (best.dLo, best.sLo, best.dHi, best.sHi, best.rawL, best.rawH, best.eff)
+      if (crossPair) {
+        val effX = ((best.dHi / minHi) / (best.dLo / minLo)) *
+          (nLo.toDouble / nHi.toDouble)
+        (best.dLo, minLo, best.dHi, minHi, best.rawL, best.rawH, effX)
+      } else (best.dLo, best.sLo, best.dHi, best.sHi, best.rawL, best.rawH,
+        best.eff)
     val thptLo = doneLo / secLo
     val thptHi = doneHi / secHi
     val attemptEffs = runs.map(r => f"${r.eff}%.3f").mkString("[", ",", "]")
     val attemptCeils = runs.map(r => f"${r.ceil}%.3f").mkString("[", ",", "]")
+    val attemptWallsLo = runs.map(r => f"${r.sLo}%.2f").mkString("[", ",", "]")
+    val attemptWallsHi = runs.map(r => f"${r.sHi}%.2f").mkString("[", ",", "]")
+    val pairing = if (crossPair) "best_rounds_cross_attempt" else "within_attempt"
 
     val rawEff = best.ceil
 
@@ -209,7 +232,8 @@ object Bench {
       f""""sec_local$nLo":$secLo%.2f,"sec_local$nHi":$secHi%.2f,""" +
       f""""urls_per_sec_local$nLo":$thptLo%.1f,"urls_per_sec_local$nHi":$thptHi%.1f,""" +
       f""""scaling_efficiency":$eff%.3f,"attempt_efficiencies":$attemptEffs,""" +
-      f""""attempt_ceilings":$attemptCeils,""" +
+      f""""attempt_ceilings":$attemptCeils,"attempt_walls_lo":$attemptWallsLo,""" +
+      f""""attempt_walls_hi":$attemptWallsHi,"pairing":"$pairing",""" +
       f""""raw_cpu_pages_per_sec_lo":$rawLo%.0f,"raw_cpu_pages_per_sec_hi":$rawHi%.0f,""" +
       f""""machine_ceiling_efficiency":$rawEff%.3f}"""
     val line =

@@ -363,6 +363,14 @@ object SparkEntry {
       Curation.quotaPerGroup(t(s, d, "documents"), k = 30)),
     "q_corpus_stats" -> ((s, d) =>
       Curation.corpusStats(t(s, d, "documents"), bucketWidth = 100)),
+    // global vocabulary: top-50 tokens by corpus frequency (deterministic
+    // tie-break on the token) — explode + partial-agg groupBy + TakeOrdered
+    "q_vocab_topk" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)),
     "q_decontaminate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Curation.decontaminate(
@@ -565,6 +573,10 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_vocab_topk" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "q_decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest([sha256(array_to_string(toks[i:i+3], ' '))

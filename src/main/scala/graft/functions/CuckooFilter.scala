@@ -149,12 +149,20 @@ object CuckooFilter {
 
   private def mixH(h: Long): Long = Hashes.mix(0x9e3779b97f4a7c15L, h)
 
-  /** Size for `expectedItems` at ~95% max load (4-slot buckets). */
+  /** Size for `expectedItems` at ~95% max load (4-slot buckets).
+    * Hard-capped at 2^28 buckets (2^30 slots ≈ 2 GB of fingerprints):
+    * beyond that the bucket math would overflow Int (an unguarded loop here
+    * previously wrapped negative and spun forever on the regrow/recovery
+    * path). Past the cap, fail loudly — a filter that size must be sharded
+    * (CrawlConfig.filterShards), not grown in one table. */
   def create(expectedItems: Long): CuckooFilter = {
     val minBuckets = math.max(expectedItems / (SlotsPerBucket * 95L / 100L), 4L)
-    var n = 4
+    require(minBuckets <= (1L << 28),
+      s"cuckoo filter for $expectedItems items needs > 2^28 buckets — " +
+        "shard the URL-seen filter (CrawlConfig.filterShards) instead")
+    var n = 4L
     while (n < minBuckets) n <<= 1
-    new CuckooFilter(n, new Array[Short](n * SlotsPerBucket))
+    new CuckooFilter(n.toInt, new Array[Short]((n * SlotsPerBucket).toInt))
   }
 
   /** Exact-shape constructor: mergeInPlace requires identical numBuckets, so

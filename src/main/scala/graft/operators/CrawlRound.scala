@@ -64,6 +64,30 @@ object CrawlRound {
     cf
   }
 
+  /** Per-shard bloom sizing, CLAMPED to Spark's BloomFilterAggregate limits.
+    * BloomFilterAggregate silently clamps estimatedNumItems/numBits to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
+    * (defaults 4e6 / 67108864); an unclamped `BloomFilter.create` for an
+    * empty shard would then carry a different hash-function count and
+    * `mergeInPlace` with the next round's clamped BloomAgg delta would
+    * throw IncompatibleMergeException. Clamping BOTH constructions to the
+    * session's limits keeps every build of a shard merge-compatible. At a
+    * true 10^10-URL deployment, raise those two confs together with
+    * `filterShards` so the clamp does not silently degrade the fpp. */
+  private[operators] def shardSizing(spark: SparkSession,
+      cfg: CrawlConfig): (Long, Long) = {
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val perShard = math.min(
+      math.max(cfg.bloomExpectedItems / math.max(cfg.filterShards, 1), 1024L),
+      maxItems)
+    val numBits = math.min(
+      BloomFilter.optimalNumOfBits(perShard, cfg.bloomFpp), maxBits)
+    (perShard, numBits)
+  }
+
   /** Distributed bloom build over any DataFrame with a `url` column. */
   private[operators] def bloomOfUrls(urls: org.apache.spark.sql.DataFrame,
       expectedItems: Long, fpp: Double): BloomFilter =
@@ -135,6 +159,22 @@ object CrawlRound {
       seeds.foreach(e => require(cf.put(e.url_hash),
         "cuckoo filter over capacity at init — raise bloomExpectedItems"))
       pending.writeCuckoo(cf)
+    } else if (cfg.filterShards > 0) {
+      // sharded config: write the per-shard files directly — never allocate
+      // the monolithic expectedItems-sized filter (at the 10^10 design point
+      // that is ~12 GB of driver heap to index a handful of seeds). One
+      // shard is in memory at a time; shapes match the BloomAgg deltas the
+      // lifecycle merges in later (shardSizing).
+      val n = cfg.filterShards
+      val (perShard, numBits) = shardSizing(spark, cfg)
+      val byShard = seeds.groupBy(e => math.floorMod(e.url_hash, n.toLong).toInt)
+      (0 until n).foreach { i =>
+        val bf = BloomFilter.create(perShard, numBits)
+        byShard.getOrElse(i, Nil).foreach(e => bf.putLong(e.url_hash))
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        pending.writeFilterShard(i, bos.toByteArray)
+      }
     } else {
       val bf = BloomFilter.create(cfg.bloomExpectedItems, cfg.bloomFpp)
       seeds.foreach(e => bf.putLong(e.url_hash))
@@ -168,7 +208,7 @@ object CrawlRound {
     // equivalence-tested). Map form also fuses hot-host detection into the
     // same job — ONE groupBy serves both driver maps.
     val defaultDelay = cfg.crawlDelayDefaultMs
-    val (withRobots, hotHosts, rulesBcOpt) = if (cfg.robotsViaJoin) {
+    val (withRobots, hotHosts, rulesBcOpt, robotsCacheOpt) = if (cfg.robotsViaJoin) {
       // SCALE FORM (≳10^7 distinct hosts/round): robots bodies ride a
       // broadcast-joined (host, body) table — "fetched" executor-side — and
       // rules compile lazily per executor with a memoized parse. No
@@ -179,8 +219,15 @@ object CrawlRound {
         Robots.cachedParse(body).allowed(UrlCanon.pathOf(url))
       }
       val delayU = udf { (body: String) => Robots.cachedParse(body).crawlDelayMs }
-      val robotsDf = traced("robots-fetch")(due.select($"host").distinct()
-        .withColumn("robots_body", robotsBodyU($"host")))
+      // persist + count so the trace measures the actual robots "fetch"
+      // (body generation over distinct hosts) instead of timing a lazy plan
+      // at ~0s and misattributing the cost to a downstream stage
+      val robotsDf = traced("robots-fetch") {
+        val df = due.select($"host").distinct()
+          .withColumn("robots_body", robotsBodyU($"host")).persist()
+        df.count()
+        df
+      }
       // F2 robots gate — denied URLs are dropped for good (they stay in the
       // seen set, so they are never re-enqueued either). Pinned behavior.
       val wr = due.join(broadcast(robotsDf), Seq("host"))
@@ -193,7 +240,7 @@ object CrawlRound {
           .filter($"count" > cfg.hotHostThreshold)
           .select($"host").as[String].collect()
           .map(h => h -> cfg.saltBuckets).toMap)
-      (wr, hot, None)
+      (wr, hot, None, Some(robotsDf))
     } else {
       // MAP FORM (default, the Mercator robots cache): one job serves two
       // driver maps — distinct due hosts (rules, compiled driver-side and
@@ -220,7 +267,7 @@ object CrawlRound {
         dueHostCounts.iterator
           .filter { case (_, n) => n > cfg.hotHostThreshold }
           .map { case (h, _) => h -> cfg.saltBuckets }.toMap)
-      (wr, hot, Some(rulesBc))
+      (wr, hot, Some(rulesBc), None)
     }
     // one fused pass: due count + allowed count (every later count that can be
     // derived arithmetically is — rounds stay at ~a dozen Spark jobs total)
@@ -451,8 +498,7 @@ object CrawlRound {
       // (O(total/n) driver memory). Prev shards missing (cold / round 0) →
       // the same single aggregation builds the full set from seen ∪ new.
       val n = cfg.filterShards
-      val perShard = math.max(cfg.bloomExpectedItems / n, 1024L)
-      val numBits = BloomFilter.optimalNumOfBits(perShard, cfg.bloomFpp)
+      val (perShard, numBits) = shardSizing(spark, cfg)
       val havePrev = store.filterShardsExist(k, n)
       val src =
         if (havePrev) trulyNew.select($"url_hash")
@@ -560,6 +606,7 @@ object CrawlRound {
       nFrontier, nSeen)
     pending.commit(manifestJson(metrics, cfg))
 
+    robotsCacheOpt.foreach(_.unpersist(blocking = false))
     Seq(withRobots, hostRanked, seqParent.toDF(), deferred.toDF(),
       fetched.toDF(), cand, trulyNew, nextFrontier.toDF())
       .foreach(_.unpersist(blocking = false))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{lit, pmod}
 
 import graft.core.{Hashes, SyntheticWeb}
 import graft.plans.Model._
@@ -36,6 +37,26 @@ object FrontierGen {
     if (cfg.filterKind == "cuckoo") {
       val cf = CrawlRound.cuckooOfUrls(entries.toDF(), cfg.bloomExpectedItems)
       pending.writeCuckoo(cf)
+    } else if (cfg.filterShards > 0) {
+      // sharded config: one distributed per-shard aggregation (never the
+      // monolithic expectedItems-sized filter); shapes match the lifecycle's
+      // BloomAgg deltas (CrawlRound.shardSizing)
+      val n = cfg.filterShards
+      val (perShard, numBits) = CrawlRound.shardSizing(spark, cfg)
+      val built: Map[Int, Array[Byte]] = entries.toDF()
+        .withColumn("shard", pmod($"url_hash", lit(n.toLong)).cast("int"))
+        .groupBy($"shard")
+        .agg(org.apache.spark.sql.graftexpr.BloomAgg($"url_hash", perShard,
+          numBits).as("bytes"))
+        .as[(Int, Array[Byte])].collect().toMap
+      (0 until n).foreach { i =>
+        val bytes = built.getOrElse(i, {
+          val bf = org.apache.spark.util.sketch.BloomFilter.create(perShard, numBits)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos); bos.toByteArray
+        })
+        pending.writeFilterShard(i, bytes)
+      }
     } else {
       pending.writeBloom(entries.select($"url_hash").coalesce(4).stat
         .bloomFilter("url_hash", cfg.bloomExpectedItems, cfg.bloomFpp))

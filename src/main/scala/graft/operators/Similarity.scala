@@ -131,11 +131,12 @@ object Similarity {
     }
     var it = 0
     while (it < iters) {
-      val bc = spark.sparkContext.broadcast(cents)
-      val assignU = udf { (e: Seq[Float]) => nearestCentroid(e, bc.value, nList, dim) }
-      // integer micro-unit sums: commutative + associative ⇒ deterministic
+      // codegen'd assignment — no Seq[Float]-arg UDF on the corpus-wide
+      // Lloyd scans (per-row conversion measured at 6x a stage elsewhere)
+      // integer micro-unit sums: commutative + associative => deterministic
       val sums = corpus
-        .select(assignU(col("embedding")).as("c"),
+        .select(org.apache.spark.sql.graftexpr.NearestCentroid(
+            col("embedding"), cents, nList, dim).as("c"),
           posexplode(col("embedding")).as(Seq("d", "v")))
         .groupBy(col("c"), col("d"))
         .agg(sum((col("v") * 1000000L).cast("long")).as("s"),
@@ -178,11 +179,9 @@ object Similarity {
   /** Corpus with its IVF list assignment (the reusable index — materialize
     * it once per corpus; list assignment never touches other rows). */
   def withIvfList(corpus: DataFrame, cents: Array[Double], nList: Int = 16,
-      dim: Int = 64): DataFrame = {
-    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
-    val assignU = udf { (e: Seq[Float]) => nearestCentroid(e, bc.value, nList, dim) }
-    corpus.withColumn("ivf_list", assignU(col("embedding")))
-  }
+      dim: Int = 64): DataFrame =
+    corpus.withColumn("ivf_list", org.apache.spark.sql.graftexpr.NearestCentroid(
+      col("embedding"), cents, nList, dim))
 
   /** IVF ANN top-k: queries probe their `nProbe` nearest centroid lists and
     * scan ONLY those lists — the candidate scan is |corpus|·nProbe/nList per

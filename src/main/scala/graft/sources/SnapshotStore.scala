@@ -171,8 +171,15 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   def filterShardPath(k: Int, i: Int): String =
     snapDir(k).resolve("filter_shards").resolve(s"shard-$i.bin").toString
 
+  /** True iff snapshot k carries EXACTLY n shard files. The exact-count
+    * check (no shard-n) guards resume with a changed `filterShards`: probing
+    * n' != n shards with pmod(h, n) routing silently yields false negatives
+    * ("definitely new" for seen URLs). A mismatch routes the round to the
+    * exact anti-join cold path, which then rewrites the full shard set at
+    * the new n. */
   def filterShardsExist(k: Int, n: Int): Boolean =
-    (0 until n).forall(i => Files.exists(Paths.get(filterShardPath(k, i))))
+    (0 until n).forall(i => Files.exists(Paths.get(filterShardPath(k, i)))) &&
+      !Files.exists(Paths.get(filterShardPath(k, n)))
 
   def loadFilterShard(k: Int, i: Int): Option[Array[Byte]] = {
     val p = Paths.get(filterShardPath(k, i))

@@ -97,6 +97,21 @@ class SimilaritySpec extends AnyFunSuite {
     got.foreach { case (id, s, ref) => assert(s === ref, s"vec $id") }
   }
 
+  test("NearestCentroid expression matches the Scala reference per row") {
+    val nList = 16; val dim = 64
+    val cents = Similarity.ivfCentroids(emb, nList, iters = 2, dim = dim)
+    val refU = udf { (e: Seq[Float]) =>
+      Similarity.nearestCentroid(e, cents, nList, dim)
+    }
+    val got = emb.select($"vec_id",
+        org.apache.spark.sql.graftexpr.NearestCentroid(
+          $"embedding", cents, nList, dim).as("c"),
+        refU($"embedding").as("ref"))
+      .as[(Long, Int, Int)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, c, ref) => assert(c === ref, s"vec $id") }
+  }
+
   test("embedding near-dup: LSH pairs ⊆ exact pairs, with a pinned recall floor") {
     val exact = Similarity.cosinePairs(emb, threshold = 0.3, roundTo = 6)
       .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet

@@ -146,12 +146,17 @@ object Bench {
     // (the lo and hi runs are adjacent in time) — pairing a lo from one
     // host-state window with a hi from another produces nonsense here.
     //
-    // Reporting policy (code and BENCH.md agree): the BEST-efficiency attempt
-    // among those measured in a HEALTHY host window (same-window raw-thread
-    // scaling ceiling >= 0.7) is reported; if every window was starved, fall
-    // back to best overall. All attempts' efficiencies and ceilings are
-    // disclosed in the JSON. An attempt that already shows eff >= 0.8 in a
-    // healthy window stops the loop early (more attempts add no evidence).
+    // Reporting policy (code and BENCH.md agree): the starvation filters
+    // below REJECT attempts whose window was provably pathological (each
+    // filter is anchored to a measured pathology and rejects in both
+    // directions); among the surviving healthy attempts the selection is
+    // NEUTRAL — the reported scaling_efficiency is the MEDIAN (lower median
+    // for even counts, which rounds down, never up) of healthy attempts, and
+    // the best healthy attempt is disclosed separately as
+    // best_healthy_efficiency. All attempts run to the attempt count or the
+    // wall-clock budget — there is no efficiency-triggered early stop, so no
+    // optional-stopping bias. All attempts' efficiencies, ceilings, and walls
+    // are disclosed in the JSON.
     val attempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
     // wall-clock guard: never START a new attempt past this point — bounds a
     // starved-host run at (budget + one starved attempt) instead of N of them
@@ -175,9 +180,7 @@ object Bench {
     val crawlT0 = System.nanoTime()
     var i = 0
     while (i < attempts &&
-        (i == 0 || (System.nanoTime() - crawlT0) / 1e9 < crawlBudgetSec) &&
-        !runs.exists(a => a.eff >= 0.8 && a.eff <= EffHi &&
-          a.ceil >= CeilingLo && a.ceil <= CeilingHi)) {
+        (i == 0 || (System.nanoTime() - crawlT0) / 1e9 < crawlBudgetSec)) {
       val rawL = rawKernel(nLo)
       val (dLo, sLo) = crawlRound(nLo, benchUrls)
       val rawH = rawKernel(nHi)
@@ -205,16 +208,22 @@ object Bench {
     // lo round with the fastest hi round across attempts — the best
     // available estimate of unstarved walls, disclosed via `pairing`
     val crossPair = healthy.isEmpty && plausible.isEmpty
-    val best = (if (healthy.nonEmpty) healthy
-      else if (plausible.nonEmpty) plausible
-      else runs).maxBy(_.eff)
+    val pool = if (healthy.nonEmpty) healthy else if (plausible.nonEmpty) plausible else runs
+    // neutral selection: lower median of the surviving pool (for even counts
+    // the LOWER middle value — rounds the estimate down, never up); the best
+    // survivor is disclosed separately, not reported as the headline number
+    val chosen = {
+      val sorted = pool.sortBy(_.eff)
+      sorted((sorted.size - 1) / 2)
+    }
+    val bestHealthyEff = pool.map(_.eff).max
     val (doneLo, secLo, doneHi, secHi, rawLo, rawHi, eff) =
       if (crossPair) {
-        val effX = ((best.dHi / minHi) / (best.dLo / minLo)) *
+        val effX = ((chosen.dHi / minHi) / (chosen.dLo / minLo)) *
           (nLo.toDouble / nHi.toDouble)
-        (best.dLo, minLo, best.dHi, minHi, best.rawL, best.rawH, effX)
-      } else (best.dLo, best.sLo, best.dHi, best.sHi, best.rawL, best.rawH,
-        best.eff)
+        (chosen.dLo, minLo, chosen.dHi, minHi, chosen.rawL, chosen.rawH, effX)
+      } else (chosen.dLo, chosen.sLo, chosen.dHi, chosen.sHi, chosen.rawL,
+        chosen.rawH, chosen.eff)
     val thptLo = doneLo / secLo
     val thptHi = doneHi / secHi
     val attemptEffs = runs.map(r => f"${r.eff}%.3f").mkString("[", ",", "]")
@@ -222,8 +231,12 @@ object Bench {
     val attemptWallsLo = runs.map(r => f"${r.sLo}%.2f").mkString("[", ",", "]")
     val attemptWallsHi = runs.map(r => f"${r.sHi}%.2f").mkString("[", ",", "]")
     val pairing = if (crossPair) "best_rounds_cross_attempt" else "within_attempt"
+    val selection =
+      if (healthy.nonEmpty) "median_of_healthy"
+      else if (plausible.nonEmpty) "median_of_plausible"
+      else "median_of_all_starved"
 
-    val rawEff = best.ceil
+    val rawEff = chosen.ceil
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
@@ -234,6 +247,7 @@ object Bench {
       f""""scaling_efficiency":$eff%.3f,"attempt_efficiencies":$attemptEffs,""" +
       f""""attempt_ceilings":$attemptCeils,"attempt_walls_lo":$attemptWallsLo,""" +
       f""""attempt_walls_hi":$attemptWallsHi,"pairing":"$pairing",""" +
+      f""""selection":"$selection","best_healthy_efficiency":$bestHealthyEff%.3f,""" +
       f""""raw_cpu_pages_per_sec_lo":$rawLo%.0f,"raw_cpu_pages_per_sec_hi":$rawHi%.0f,""" +
       f""""machine_ceiling_efficiency":$rawEff%.3f}"""
     val line =

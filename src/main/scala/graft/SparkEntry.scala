@@ -105,8 +105,14 @@ object SparkEntry {
       val head = st.head.getOrElse(0)
       val ranks = operators.LinkGraph.pageRank(
         operators.LinkGraph.edges(st.loadAllPages(head)), iterations = 5)
-      operators.LinkGraph.reprioritize(st.loadFrontier(head), ranks)
-        .toDF().select(col("url"), col("priority"), col("next_fetch_ts"))
+      val (out, caches) =
+        operators.LinkGraph.reprioritize(st.loadFrontier(head), ranks)
+      // materialize (tiny at the smoke SF), then free the join/sort caches —
+      // query entries run in long-lived sessions (Verify loops over all of
+      // them), so leaked blocks would accumulate across queries
+      val mat = out.localCheckpoint(true)
+      caches.foreach(_.unpersist(false))
+      mat.toDF().select(col("url"), col("priority"), col("next_fetch_ts"))
     }),
 
     // ---- relational operator inventory (oracle-checked vs DuckDB) ----------
@@ -298,6 +304,16 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    // IVF cross-check vs the exact scorer (rows-only): per query, IVF top-5
+    // overlap with the brute-force top-10 plus a score-exactness audit.
+    // cosine_mismatches == 0 is a theorem (IVF prunes candidates, never
+    // approximates scores); SimilaritySpec locks it — and a recall floor on
+    // the overlap — at sf0.001 AND sf0.1.
+    "q_ann_ivf_vs_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfCrossCheck(emb, emb.filter(col("vec_id") < 10),
+        k = 5, bruteK = 10)
+    }),
     // embedding-cosine near-dup: exact all-pairs baseline (oracle-checked);
     // the _lsh variant is the bucketed scale path (recall < 1 → rows-only)
     "q_dedup_embedding" -> ((s, d) =>
@@ -376,6 +392,16 @@ object SparkEntry {
       Curation.decontaminate(
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), n = 4)
+    }),
+    // K6 training-shard export: write to a fresh temp dir, return the
+    // audited per-shard manifest (deterministic: shard = pmod(xxhash64(
+    // doc_id)), id_digest = order-insensitive xor fold — stable across
+    // runs and partitionings). Rows-only driver check: Spark's xxhash64 is
+    // not ANSI-expressible, so there is no DuckDB oracle.
+    "q_export_manifest" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+      Curation.exportShards(t(s, d, "documents"), out, nShards = 8)
+        .orderBy(col("shard"))
     }),
   )
 
@@ -552,7 +578,8 @@ object SparkEntry {
     // by construction; pinned in Curation.shingleHashes scaladoc) ----
     "q_chunk_fixed" ->
       """WITH starts AS (
-        |  SELECT doc_id, text, unnest(range(1, n_chars+1, 150)) AS chunk_start
+        |  SELECT doc_id, text,
+        |    unnest(range(1, greatest(n_chars, 1)+1, 150)) AS chunk_start
         |  FROM documents)
         |SELECT doc_id, CAST((chunk_start-1)/150 AS BIGINT) AS chunk_idx,
         |  CAST(chunk_start AS BIGINT) AS chunk_start,

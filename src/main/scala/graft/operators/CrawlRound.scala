@@ -191,7 +191,15 @@ object CrawlRound {
     val shufflePartitions =
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-    val frontier = store.loadFrontier(k)
+    // In the delta layout, loadFrontier returns a merge-on-read plan (delta
+    // window + bloom route + 128-bit anti-join) that EVERY consumer of
+    // due/notDue would otherwise re-execute — robots fetch, hot-host detect,
+    // the gate count, the frontier write — multiplying the reconstruction
+    // cost per round and eroding the O(churn) win the layout buys. Persist
+    // the reconstruction for the round; unpersisted with the round caches.
+    val frontierRaw = store.loadFrontier(k)
+    val frontier =
+      if (store.hasFullFrontier(k)) frontierRaw else frontierRaw.persist()
     // F4 due filter — plain column predicate, pushed into the parquet scan
     val due = frontier.filter($"next_fetch_ts" <= rts)
     val notDue = frontier.filter($"next_fetch_ts" > rts)
@@ -608,7 +616,7 @@ object CrawlRound {
 
     robotsCacheOpt.foreach(_.unpersist(blocking = false))
     Seq(withRobots, hostRanked, seqParent.toDF(), deferred.toDF(),
-      fetched.toDF(), cand, trulyNew, nextFrontier.toDF())
+      fetched.toDF(), cand, trulyNew, nextFrontier.toDF(), frontier.toDF())
       .foreach(_.unpersist(blocking = false))
     rulesBcOpt.foreach(_.destroy())
     RoundResult(k, metrics)

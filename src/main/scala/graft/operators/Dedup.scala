@@ -224,19 +224,29 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: bucket by each 16-bit block, verify Hamming ≤ k. */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val idx = simHashIndex(docs)
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simHashPairsFromIndex(simHashIndex(docs), maxHamming)
+
+  /** Pair generation from a precomputed `simHashIndex` table. UDF-free by
+    * design (the only UDF in the simhash pipeline is the per-doc signature,
+    * which is pinned xxh64 arithmetic and inexpressible in built-ins) —
+    * the bucket join and the Hamming verify stay in whole-stage codegen,
+    * locked by PlanShapeSpec. */
+  def simHashPairsFromIndex(idx: DataFrame, maxHamming: Int = 3): DataFrame = {
     val blocks = (0 until 4).map { b =>
       idx.select(lit(b).as("block_id"), col(s"block$b").as("block_key"),
         col("doc_id"), col("simhash"))
     }.reduce(_ unionByName _)
     val a = blocks.toDF("block_id", "block_key", "doc_a", "sim_a")
     val b = blocks.toDF("block_id", "block_key", "doc_b", "sim_b")
-    val hammingCol = udf((x: Long, y: Long) => TextAnalysis.hamming(x, y))
+    // Hamming = popcount(xor): built-in bit_count stays inside whole-stage
+    // codegen — no ScalaUDF boundary on the pair-verification hot path
+    // (TextAnalysis.hamming remains the scalar-side reference, property-
+    // tested equal in DedupSpec)
     a.join(b, Seq("block_id", "block_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        hammingCol(col("sim_a"), col("sim_b")).as("hamming"))
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -98,9 +98,16 @@ object LinkGraph {
     * the same no-single-reducer idiom as the crawler's global sequence
     * (CrawlRound.assignGlobalSeq; the offsets collect is O(partitions)).
     * Determinism: sort key (rank DESC, url_hash) is unique per frontier, so
-    * bucket assignment is independent of partition boundaries. */
+    * bucket assignment is independent of partition boundaries.
+    *
+    * Returns (reprioritized, caches): the result is a cheap map over the
+    * cached join/sort parents, so downstream actions recompute from cache —
+    * same contract as CrawlRound.assignGlobalSeq's cachedParent. The CALLER
+    * unpersists every Dataset in `caches` once the result is materialized
+    * (or no longer needed); ignoring them leaks cached blocks for the
+    * session's lifetime. */
   def reprioritize(frontier: Dataset[FrontierEntry], ranks: DataFrame,
-      buckets: Int = 10): Dataset[FrontierEntry] = {
+      buckets: Int = 10): (Dataset[FrontierEntry], Seq[Dataset[_]]) = {
     require(buckets >= 1, "need at least one priority bucket")
     val spark = frontier.sparkSession
     import spark.implicits._
@@ -110,7 +117,8 @@ object LinkGraph {
     val unranked = joined.filter(col("rank").isNull).drop("rank").as[FrontierEntry]
     val ranked = joined.filter(col("rank").isNotNull)
     val n = ranked.count()
-    val out: Dataset[FrontierEntry] = if (n == 0L) frontier else {
+    if (n == 0L) { joined.unpersist(blocking = false); (frontier, Nil) }
+    else {
       val parts = math.max(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, 1)
       val sorted = ranked
         .repartitionByRange(parts, col("rank").desc, col("url_hash"))
@@ -135,8 +143,7 @@ object LinkGraph {
           e.copy(priority = p)
         }
       })
-      rebucketed.unionByName(unranked)
+      (rebucketed.unionByName(unranked), Seq(joined, sorted))
     }
-    out
   }
 }

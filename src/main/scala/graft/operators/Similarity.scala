@@ -70,9 +70,20 @@ object Similarity {
     * cosine ≥ threshold. O(n²/2) via a broadcast nested-loop self-join —
     * the correct baseline and the DuckDB-oracle surface; `cosinePairsLsh`
     * is the bucketed scale path. `roundTo` quantizes the cosine before the
-    * threshold so the result set is engine-independent. */
+    * threshold so the result set is engine-independent.
+    *
+    * WARNING — oracle baseline, NOT a scale path: the whole table is
+    * broadcast and every pair is scored. `maxRows` enforces that bound
+    * (one count pass, then require) so a pipeline cannot drift into an
+    * n² broadcast at corpus scale by accident — the same discipline as the
+    * robots-gate broadcast threshold. Raise it only for a deliberate
+    * baseline run; use `nearDupPairs`/`cosinePairsLsh` in pipelines. */
   def cosinePairs(emb: DataFrame, threshold: Double,
-      roundTo: Int = -1): DataFrame = {
+      roundTo: Int = -1, maxRows: Long = 1000000L): DataFrame = {
+    val n = emb.count()
+    require(n <= maxRows,
+      s"cosinePairs is the O(n^2) broadcast baseline: got $n rows > maxRows=" +
+        s"$maxRows; use cosinePairsLsh (or raise maxRows deliberately)")
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = broadcast(
       emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")))
@@ -90,6 +101,14 @@ object Similarity {
     * < 1 by construction (near-threshold pairs may share no bucket); at high
     * cosine the collision probability per table is (1−θ/π)^bits, boosted by
     * the union over tables. Pairs are deduped across tables before scoring. */
+  /** Pipeline-facing near-dup pair API: always the bucketed LSH path —
+    * callers that need the exact O(n²) baseline must opt into `cosinePairs`
+    * explicitly (and pass its row-count guard). Plan-locked no-BNLJ/no-
+    * cartesian in PlanShapeSpec. */
+  def nearDupPairs(emb: DataFrame, threshold: Double, roundTo: Int = -1,
+      nBits: Int = 8, nTables: Int = 8, dim: Int = 64): DataFrame =
+    cosinePairsLsh(emb, threshold, roundTo, nBits, nTables, dim)
+
   def cosinePairsLsh(emb: DataFrame, threshold: Double, roundTo: Int = -1,
       nBits: Int = 8, nTables: Int = 8, dim: Int = 64): DataFrame = {
     val sig = withLshSignatures(emb, nBits, nTables, dim)
@@ -208,6 +227,37 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF-vs-exact cross-check report, one row per query:
+    *  - ivf_k: rows IVF returned;
+    *  - in_brute_topk: how many fall inside the exact top-`bruteK`;
+    *  - cosine_mismatches: IVF-reported cosines differing from an
+    *    independently recomputed exact cosine.
+    * The mismatch count is a theorem-grade invariant — it must be 0 always,
+    * because IVF prunes the CANDIDATE SET but never approximates scores —
+    * while the overlap column is the empirical recall surface whose floor
+    * SimilaritySpec pins at sf0.001 AND sf0.1. Registered as the driver
+    * query q_ann_ivf_vs_brute (rows-only: xxh64-seeded index, no DuckDB). */
+  def ivfCrossCheck(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      bruteK: Int = 10): DataFrame = {
+    val ivf = ivfTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("ivf_cos"))
+    val brute = bruteForceTopK(corpus, queries, k = bruteK)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_brute"))
+    val qe = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val ne = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"))
+    ivf.join(qe, Seq("query_id"))
+      .join(ne, Seq("neighbor_id"))
+      .withColumn("exact_cos", cosine(col("q_emb"), col("n_emb")))
+      .join(brute, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("ivf_k"),
+        sum(coalesce(col("in_brute"), lit(0L))).cast("long").as("in_brute_topk"),
+        sum(when(abs(col("ivf_cos") - col("exact_cos")) > 1e-9, 1L)
+          .otherwise(0L)).as("cosine_mismatches"))
   }
 
   /** Deterministic random hyperplanes: `nBits` planes × `dim` components,

@@ -72,6 +72,12 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * At the 10^10-row design point this replaces the full-frontier range
     * shuffle+rewrite per round with a churn-sized write (the shuffle returns
     * only on compaction rounds) at the price of this merge-on-read. */
+  /** True iff snapshot k carries a full `frontier/` table — i.e. loadFrontier
+    * is a plain parquet scan, not a merge-on-read reconstruction. Callers
+    * that consume the frontier more than once should persist the loaded
+    * Dataset when this is false (CrawlRound.run does). */
+  def hasFullFrontier(k: Int): Boolean = Files.exists(Paths.get(frontierPath(k)))
+
   def loadFrontier(k: Int): Dataset[FrontierEntry] = {
     import org.apache.spark.sql.functions._
     import spark.implicits._

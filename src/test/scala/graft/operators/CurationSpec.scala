@@ -42,6 +42,22 @@ class CurationSpec extends AnyFunSuite {
     assert(one.length === 1 && one.head.getAs[Long]("chunk_len") === 4L)
   }
 
+  test("chunkFixed: a zero-length document emits exactly one empty chunk") {
+    // pinned behavior (and what the registered DuckDB oracle now mirrors via
+    // greatest(n_chars, 1)): an empty doc still anchors one chunk row, so
+    // chunk accounting covers every input doc
+    val empty = mkDocs(Seq((9L, "", "en", "s0")))
+    val rows = Curation.chunkFixed(empty, 200, 150).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("chunk_idx") === 0L)
+    assert(r.getAs[Long]("chunk_start") === 1L)
+    assert(r.getAs[Long]("chunk_len") === 0L)
+    // sha256 of the empty string
+    assert(r.getAs[String]("chunk_sha256") ===
+      "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
+  }
+
   test("chunkFixed: sha256 matches a locally computed digest") {
     val r = Curation.chunkFixed(docs.filter($"doc_id" === 0L), 200, 150).collect().head
     val expect = graft.core.Hashes.sha256Hex(

@@ -120,6 +120,18 @@ class DedupSpec extends AnyFunSuite {
     assert(idx.columns.toSet === Set("doc_id", "simhash", "block0", "block1", "block2", "block3"))
   }
 
+  test("bit_count hamming on the pair path equals the scalar reference") {
+    // the pair verify uses codegen bit_count(a^b); TextAnalysis.hamming is
+    // the scalar-side reference — pin their equality over adversarial longs
+    val rnd = new scala.util.Random(42)
+    val samples = Seq((0L, 0L), (-1L, 0L), (Long.MinValue, Long.MaxValue)) ++
+      (0 until 200).map(_ => (rnd.nextLong(), rnd.nextLong()))
+    val got = samples.toDF("x", "y")
+      .select(bit_count($"x".bitwiseXOR($"y")).cast("int"))
+      .as[Int].collect().toSeq
+    assert(got === samples.map { case (x, y) => graft.functions.TextAnalysis.hamming(x, y) })
+  }
+
   test("bucket cap bounds pair explosion on degenerate corpora") {
     val same = (0L until 100L).map(i => (i, base)).toDF("doc_id", "text")
     val n = Dedup.minHashPairs(same, threshold = 0.5, maxBucket = 10).count()

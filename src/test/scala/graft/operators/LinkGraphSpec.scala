@@ -64,7 +64,8 @@ class LinkGraphSpec extends AnyFunSuite {
     // rank 30 of the 40 urls; rank value grows with i, so high-i → high rank
     val ranks = (0L until 30L).map(i => (s"https://h$i.example.com/", (i + 1) / 100.0))
       .toDF("url", "rank")
-    val out = LinkGraph.reprioritize(frontier, ranks, buckets = 10).persist()
+    val (out0, caches) = LinkGraph.reprioritize(frontier, ranks, buckets = 10)
+    val out = out0.persist()
     assert(out.count() === 40L)
     // unranked urls (30..39) keep priority 5 and every other field
     val untouched = out.filter($"url_hash" >= 30L).collect()
@@ -81,8 +82,9 @@ class LinkGraphSpec extends AnyFunSuite {
     val r7 = out.filter($"url_hash" === 7L).head()
     assert(r7.next_fetch_ts === 1007L && r7.retries === 0 && r7.host === "h7.example.com")
     // single bucket degenerates to all-zero priorities for ranked rows
-    val one = LinkGraph.reprioritize(frontier, ranks, buckets = 1)
+    val (one, caches1) = LinkGraph.reprioritize(frontier, ranks, buckets = 1)
     assert(one.filter($"url_hash" < 30L).select($"priority").distinct().as[Int].collect().toSeq === Seq(0))
     out.unpersist()
+    (caches ++ caches1).foreach(_.unpersist(false))
   }
 }

@@ -125,6 +125,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.10, s"near-dup recall collapsed: $recall")
   }
 
+  test("cosinePairs row-count guard trips; nearDupPairs takes the LSH path") {
+    // the exact baseline refuses a corpus over its declared bound
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(emb, threshold = 0.3, roundTo = 6, maxRows = 3L)
+    }
+    assert(e.getMessage.contains("cosinePairsLsh"))
+    // the pipeline-facing API is the bucketed path: same rows as
+    // cosinePairsLsh and no broadcast-NLJ / cartesian in the physical plan
+    val nd = Similarity.nearDupPairs(emb, threshold = 0.3, roundTo = 6)
+    val physical = nd.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+    assert(!physical.contains("CartesianProduct"), physical)
+    val lsh = Similarity.cosinePairsLsh(emb, threshold = 0.3, roundTo = 6)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(nd.select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet === lsh)
+  }
+
+  test("ivfCrossCheck: zero score mismatches (theorem) + recall floor, sf0.001 and sf0.1") {
+    // CLAUDE.md: depth-dependent ops must be checked at sf0.1 too, not just
+    // the driver's sf0.01 gate — recall behavior diverges only at scale
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val rep = Similarity.ivfCrossCheck(e, e.filter($"vec_id" < 10), k = 5, bruteK = 10)
+        .select($"query_id", $"ivf_k", $"in_brute_topk", $"cosine_mismatches")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(rep.length === 10, dir)
+      // theorem: IVF never mis-scores a returned pair
+      assert(rep.forall(_._4 === 0L), s"$dir: ${rep.mkString(",")}")
+      assert(rep.forall(r => r._2 === 5L), dir)
+      // empirical recall floor on deterministic data: aggregate IVF top-5
+      // hits inside exact top-10, across the 10 fixed queries
+      val recall = rep.map(_._3).sum.toDouble / rep.map(_._2).sum
+      assert(recall >= 0.25, s"$dir: IVF-vs-brute overlap collapsed: $recall")
+    }
+  }
+
   test("IVF ANN: deterministic index, valid top-k, pinned recall floor") {
     val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet

@@ -119,6 +119,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash pair path is UDF-free: codegen bit_count, no ScalaUDF") {
+    // the per-doc signature UDF (pinned xxh64 arithmetic) is upstream in
+    // simHashIndex; the PAIR path — bucket join + Hamming verify — must stay
+    // in whole-stage codegen with no ScalaUDF boundary
+    val idx = Seq((0L, 7L), (1L, 5L)).toDF("doc_id", "simhash")
+      .withColumn("block0", $"simhash".bitwiseAND(lit(0xffffL)))
+      .withColumn("block1", lit(0L)).withColumn("block2", lit(0L))
+      .withColumn("block3", lit(0L))
+    val physical = graft.operators.Dedup.simHashPairsFromIndex(idx)
+      .queryExecution.executedPlan.toString
+    assert(!physical.contains("ScalaUDF"), s"pair path grew a UDF:\n$physical")
+    assert(physical.contains("bit_count"), physical)
+  }
+
   test("decontamination broadcasts the benchmark shingle set (corpus never shuffled for the join)") {
     val physical = SparkEntry.queries("q_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString

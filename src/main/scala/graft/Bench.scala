@@ -41,6 +41,10 @@ object Bench {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.local.dir", s"$ShmRoot/spark-local")
     .config("spark.ui.enabled", "false")
+    // committer v1 renames every output file SERIALLY on the driver at job
+    // commit — O(files) non-scaling wall across the five concurrent snapshot
+    // writes; v2 renames task-side (parallel, scales with cores)
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     .getOrCreate()
 
   private def rmTree(p: java.nio.file.Path): Unit = {
@@ -79,21 +83,35 @@ object Bench {
     urls.length / ((System.nanoTime() - t0) / 1e9)
   }
 
+  /** One timed crawl round at local[cpus]. The prepared store (frontier gen
+    * + the untimed round 0, which both warms the session and GROWS the
+    * frontier round 1 consumes) is built once per level and REUSED by later
+    * attempts: round 1 always reads snapshot 1, whose contents are
+    * deterministic, so every attempt times the identical job on identical
+    * input — and skipping the ~70 s/attempt of re-preparation lets the full
+    * attempt count fit the wall-clock budget (the median needs ≥2 healthy
+    * samples to mean anything). Each attempt still gets a FRESH session;
+    * codegen/JIT caches are JVM-global, so a cheap narrow scan re-primes the
+    * new session's file-index state where attempt 1 had round 0. */
   private def crawlRound(cpus: Int, n: Long): (Long, Double) = {
     val spark = newSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val dir = s"$ShmRoot/store-c$cpus"
-    rmTree(java.nio.file.Paths.get(dir))
     val store = new SnapshotStore(spark, dir)
     val cfg = CrawlConfig(hostBudget = 1000, roundCap = Int.MaxValue,
       bloomExpectedItems = 1L << 23)
-    FrontierGen.init(spark, store, n, cfg)
-    CrawlRound.run(spark, store, 0, cfg) // warm-up round (untimed)
+    if (!store.exists(1)) {
+      rmTree(java.nio.file.Paths.get(dir))
+      val st = new SnapshotStore(spark, dir)
+      FrontierGen.init(spark, st, n, cfg)
+      CrawlRound.run(spark, st, 0, cfg) // prep + warm-up (untimed)
+    } else {
+      store.loadFrontier(1).count() // untimed session re-warm (new session)
+    }
     val t0 = System.nanoTime()
     val m = CrawlRound.run(spark, store, 1, cfg).metrics
     val secs = (System.nanoTime() - t0) / 1e9
     spark.stop()
-    rmTree(java.nio.file.Paths.get(dir))
     (m.fetched + m.new_urls, secs)
   }
 
@@ -190,6 +208,9 @@ object Bench {
       runs += Attempt(dLo, sLo, dHi, sHi, rawL, rawH, e, c)
       i += 1
     }
+    // stores are reused across attempts (see crawlRound) — clean up once
+    Seq(nLo, nHi).foreach(c =>
+      rmTree(java.nio.file.Paths.get(s"$ShmRoot/store-c$c")))
     // round-level starvation check (needs >= 2 attempts to bite): the same
     // round on the same input has a stable wall in a healthy window, so a
     // round > 1.5x the FASTEST observed wall at its level was starved even

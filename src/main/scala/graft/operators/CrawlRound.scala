@@ -351,7 +351,15 @@ object CrawlRound {
         $"priority", $"next_fetch_ts", $"discovered_round", $"retries",
         $"host_rank", $"seq", $"fetch_ts")
       .as[FetchTask]
-    val (sequenced, seqParent) = assignGlobalSeq(spark, preTasks, shufflePartitions)
+    // 3 waves for the fetch stage: `sequenced`'s range partitions become the
+    // fetch mapPartitions tasks (75%+ of round wall); at exactly one task
+    // per core a single straggler extends the whole stage, and the straggle
+    // penalty grows with core count — a direct scaling-efficiency loss.
+    // 3× tasks-per-core packs stragglers away at BOTH parallelism levels.
+    // The seq assignment itself is partition-count-independent (unique sort
+    // keys → same global order), so crawl output is byte-identical.
+    val (sequenced, seqParent) =
+      assignGlobalSeq(spark, preTasks, shufflePartitions * 3)
     val tasks = sequenced.filter($"seq" < cfg.roundCap)
     val capDropped = sequenced.filter($"seq" >= cfg.roundCap)
 
@@ -399,7 +407,11 @@ object CrawlRound {
       .agg(min($"url").as("url"), min($"url_hash").as("url_hash"),
         min($"host").as("host"), max($"priority").as("priority"))
       .persist()
-    val nCand = traced("link-candidates")(cand.count())
+    // nCand is read AFTER the seen-dedup action below: the dedup job's first
+    // scan of `cand` populates the cache (the flatMap + in-batch-merge
+    // shuffle runs exactly once either way), so counting here first would
+    // add a whole extra job barrier just to materialize — a measured slice
+    // of the round's non-scaling serial fraction
 
     // --- dedup vs URL-seen: filter route (A3) + exact anti-join (J1) -------
     // filter-clear ⇒ definitely new (no false negatives) ⇒ skip the shuffle;
@@ -463,6 +475,7 @@ object CrawlRound {
           antiJoinAll(cand)
       }).persist()
     val nNew = traced("seen-dedup")(trulyNew.count())
+    val nCand = traced("link-candidates")(cand.count()) // cached by the job above
 
     val newEntries = trulyNew.select(
         $"url", $"url_hash", $"url_hash_hi", $"url_hash_lo", $"host", $"priority",

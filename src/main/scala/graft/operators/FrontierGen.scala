@@ -14,14 +14,25 @@ import graft.sources.SnapshotStore
   * generates the 10^10-URL design-point frontier on a real cluster. */
 object FrontierGen {
 
+  /** `spreadRounds = 0` (default): every URL is due at round 0 — the growth
+    * phase. `spreadRounds = R > 0`: next_fetch_ts is hash-spread uniformly
+    * over rounds 0..R-1, so each round dequeues ~n/R URLs out of an n-row
+    * frontier — the STEADY-STATE shape (churn ≪ frontier) the log-structured
+    * delta layout targets; used by tools.DeltaBench to measure it. */
   def init(spark: SparkSession, store: SnapshotStore, n: Long,
-      cfg: CrawlConfig, seed: Long = 777L): Long = {
+      cfg: CrawlConfig, seed: Long = 777L, spreadRounds: Int = 0): Long = {
     import spark.implicits._
     val t0 = roundTs(cfg, 0)
+    val interval = cfg.roundIntervalMs
+    val spread = spreadRounds
     val entries = spark.range(n).map { i =>
       val u = SyntheticWeb.urlFor(Hashes.mix(seed, i))
-      val prio = math.floorMod(Hashes.mix(Hashes.xxh64(u), 55), 10L).toInt
-      CrawlRound.entryFor(u, prio, t0, 0)
+      val h = Hashes.xxh64(u)
+      val prio = math.floorMod(Hashes.mix(h, 55), 10L).toInt
+      val due =
+        if (spread <= 0) t0
+        else t0 + math.floorMod(Hashes.mix(h, 77), spread.toLong) * interval
+      CrawlRound.entryFor(u, prio, due, 0)
     }.dropDuplicates("url_hash_hi", "url_hash_lo").persist()
 
     val pending = store.begin(0)

@@ -90,4 +90,36 @@ object StreamingCrawl {
         out.iterator
       })
   }
+
+  final case class WindowedHostState(window_id: Long, emitted: Long)
+
+  /** Per-window politeness budget — the batch engine re-grants each host its
+    * budget every ROUND (CrawlRound W1/W2); this variant re-grants it every
+    * `windowMs` of processing time, matching that semantics for a
+    * continuously-fed frontier. State stores (window_id, emitted) per host
+    * and resets the count when the processing-time clock crosses a window
+    * boundary, so a host exhausted in one window fetches again in the next;
+    * `politenessGate` above is the whole-stream form that never re-grants.
+    * State stays O(hosts) — one row per host regardless of stream length. */
+  def politenessGatePerWindow(entries: Dataset[FrontierEntry], budget: Int,
+      windowMs: Long): Dataset[GateDecision] = {
+    require(windowMs > 0, "windowMs must be positive")
+    val spark = entries.sparkSession
+    import spark.implicits._
+    entries.groupByKey(_.host).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (host: String, batch: Iterator[FrontierEntry],
+          state: GroupState[WindowedHostState]) => {
+        val win = state.getCurrentProcessingTimeMs() / windowMs
+        val sorted = batch.toSeq.sortBy(e => (-e.priority, e.next_fetch_ts, e.url_hash))
+        val already = state.getOption.filter(_.window_id == win)
+          .map(_.emitted).getOrElse(0L)
+        val room = math.max(budget - already, 0L).toInt
+        val out = sorted.take(room).zipWithIndex.map { case (e, i) =>
+          GateDecision(e.url, host, already + i + 1)
+        }
+        state.update(WindowedHostState(win, already + out.size))
+        out.iterator
+      })
+  }
 }

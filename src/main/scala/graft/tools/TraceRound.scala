@@ -16,7 +16,9 @@ object TraceRound {
       .appName("trace").config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", "/dev/shm/graft-trace/spark-local")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = s"/dev/shm/graft-trace/store-$cpus-$n"
     def rm(p: java.nio.file.Path): Unit = {

@@ -85,6 +85,60 @@ class StreamingCrawlSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("per-window politeness gate re-grants the budget across window boundaries") {
+    def entries(seed: Long, n: Int): Seq[FrontierEntry] =
+      (0 until n).map(i => CrawlRound.entryFor(
+        SyntheticWeb.urlFor(Hashes.mix(seed, i.toLong)), 5, 0L, 0))
+
+    // 1) effectively-whole-stream window (1 year — a 1h window could
+    // straddle a wall-clock hour boundary mid-test): a second batch of the
+    // same hosts stays capped — identical to the never-re-grant gate
+    val dirA = Files.createTempDirectory("stream-wgate-a").toString
+    val ckptA = Files.createTempDirectory("stream-wgate-a-ckpt").toString
+    spark.createDataset(entries(11L, 300)).write.parquet(s"$dirA/b0")
+    val streamA = spark.readStream
+      .schema(spark.createDataset(entries(11L, 1)).schema)
+      .parquet(s"$dirA/b0").as[FrontierEntry]
+    val qA = StreamingCrawl.politenessGatePerWindow(streamA, budget = 3,
+        windowMs = 365L * 24 * 3600 * 1000).writeStream
+      .outputMode("append").format("memory").queryName("wgate_a")
+      .option("checkpointLocation", ckptA).start()
+    qA.processAllAvailable()
+    spark.createDataset(entries(12L, 300)).write.mode("append").parquet(s"$dirA/b0")
+    qA.processAllAvailable()
+    qA.stop()
+    val outA = spark.table("wgate_a")
+    assert(outA.count() > 0)
+    assert(outA.groupBy($"host").count().filter($"count" > 3).count() === 0)
+
+    // 2) 1 ms windows with a pause between batches: every micro-batch lands
+    // in a fresh window, so the SAME hosts get a fresh budget each time
+    val dirB = Files.createTempDirectory("stream-wgate-b").toString
+    val ckptB = Files.createTempDirectory("stream-wgate-b-ckpt").toString
+    val fixed = entries(21L, 40) // one fixed set of urls/hosts, replayed
+    spark.createDataset(fixed).write.parquet(s"$dirB/b0")
+    val streamB = spark.readStream
+      .schema(spark.createDataset(fixed.take(1)).schema)
+      .parquet(s"$dirB/b0").as[FrontierEntry]
+    val qB = StreamingCrawl.politenessGatePerWindow(streamB, budget = 3,
+        windowMs = 1L).writeStream
+      .outputMode("append").format("memory").queryName("wgate_b")
+      .option("checkpointLocation", ckptB).start()
+    qB.processAllAvailable()
+    val afterFirst = spark.table("wgate_b").count()
+    Thread.sleep(50) // guarantee the 1 ms window boundary is crossed
+    spark.createDataset(fixed).write.mode("append").parquet(s"$dirB/b0")
+    qB.processAllAvailable()
+    qB.stop()
+    val outB = spark.table("wgate_b")
+    // the replayed batch emitted again (fresh window) — strictly more rows,
+    // and per (host, emitted_rank) each rank now appears twice
+    assert(afterFirst > 0)
+    assert(outB.count() === afterFirst * 2, "second window did not re-grant")
+    assert(outB.groupBy($"host").agg(max($"emitted_rank").as("m"))
+      .filter($"m" > 3).count() === 0)
+  }
+
   test("streaming url dedup drops re-discovered urls across micro-batches") {
     val dir = Files.createTempDirectory("stream-dedup").toString
     val ckpt = Files.createTempDirectory("stream-dckpt").toString

@@ -64,7 +64,11 @@ object Bench {
     * threads (no Spark) — measured adjacent to each timed round so the
     * engine can be scored against what the host could do in that window. */
   private def rawKernel(threads: Int): Double = {
-    val urls = (0 until 20000).map(i =>
+    // 40k pages: at 16 threads a 20k sample finished in ~1.5 s — too short
+    // to catch the bursty steal this host shows (round-3 run: in-band
+    // ceilings around hi rounds that were 1.5x their best-known wall).
+    // Longer samples classify window health more reliably; still <10 s/attempt.
+    val urls = (0 until 40000).map(i =>
       graft.core.SyntheticWeb.urlFor(graft.core.Hashes.mix(5L, i.toLong))).toArray
     val idx = new java.util.concurrent.atomic.AtomicInteger(0)
     val t0 = System.nanoTime()

@@ -351,15 +351,15 @@ object CrawlRound {
         $"priority", $"next_fetch_ts", $"discovered_round", $"retries",
         $"host_rank", $"seq", $"fetch_ts")
       .as[FetchTask]
-    // 3 waves for the fetch stage: `sequenced`'s range partitions become the
-    // fetch mapPartitions tasks (75%+ of round wall); at exactly one task
-    // per core a single straggler extends the whole stage, and the straggle
-    // penalty grows with core count — a direct scaling-efficiency loss.
-    // 3× tasks-per-core packs stragglers away at BOTH parallelism levels.
-    // The seq assignment itself is partition-count-independent (unique sort
-    // keys → same global order), so crawl output is byte-identical.
+    // cfg.fetchWaves: `sequenced`'s range partitions become the fetch
+    // mapPartitions tasks (75%+ of round wall); at exactly one task per core
+    // a single straggler extends the whole stage. >1 packs stragglers across
+    // waves at the cost of more tasks/files downstream (fetched cache, page
+    // writes). Output is byte-identical at any value (unique sort keys →
+    // same global order). Default 1; tools.WaveAB measures the trade.
     val (sequenced, seqParent) =
-      assignGlobalSeq(spark, preTasks, shufflePartitions * 3)
+      assignGlobalSeq(spark, preTasks,
+        shufflePartitions * math.max(cfg.fetchWaves, 1))
     val tasks = sequenced.filter($"seq" < cfg.roundCap)
     val capDropped = sequenced.filter($"seq" >= cfg.roundCap)
 

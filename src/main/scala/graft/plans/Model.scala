@@ -142,6 +142,11 @@ object Model {
       // structure, the ≳10^7-distinct-hosts/round form. Identical crawl
       // output (equivalence-tested).
       robotsViaJoin: Boolean = false,
+      // tasks-per-core multiplier for the fetch stage (sequenced's range
+      // partition count = shuffle.partitions × fetchWaves): >1 packs
+      // stragglers across waves, 1 = one task per core. Output is identical
+      // at any value (the global sequence is partition-count-independent).
+      fetchWaves: Int = 1,
       // 0 (default): one broadcast URL-seen filter — right up to broadcast
       // size (~10^8-10^9 keys). >0 (bloom kind only): the filter is SHARDED
       // by pmod(url_hash, n); candidates route to their shard's partition

@@ -115,6 +115,20 @@ object SparkEntry {
       mat.toDF().select(col("url"), col("priority"), col("next_fetch_ts"))
     }),
 
+    // end-to-end corpus build over the crawled pages (CorpusPipeline:
+    // fused profile → quality gate → exact dedup → near-dup keeper → shard
+    // export); returns the audited per-shard manifest. Rows-only driver
+    // check — every stage's own oracle/spec carries the correctness.
+    "crawl_corpus_manifest" -> ((s, _) => {
+      val st = crawlStore(s)
+      val pages = st.loadAllPages(st.head.getOrElse(0))
+      val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+      val (manifest, _) = operators.CorpusPipeline.run(pages, out,
+        operators.CorpusPipeline.Config(minTokens = 5, minQuality = 0.0,
+          nShards = 4))
+      manifest.orderBy(col("shard"))
+    }),
+
     // ---- relational operator inventory (oracle-checked vs DuckDB) ----------
     "q_scan_filter" -> ((s, d) =>
       t(s, d, "lineitem")

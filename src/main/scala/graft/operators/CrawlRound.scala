@@ -393,6 +393,25 @@ object CrawlRound {
         coalesce(sum(size($"links")), lit(0L)))
         .as[(Long, Long, Long)].head())
 
+    // Snapshot staging opens HERE, and the two outputs that depend ONLY on
+    // `fetched` (pages, lineage) start writing immediately, overlapped with
+    // the link/dedup chain below. Motivation (round-3 job-timeline trace):
+    // the write phase measured as a ~6.4 s wall CONSTANT at both local[4]
+    // and local[16] — per-task/per-file fixed costs, not data volume — i.e.
+    // pure non-scaling serial fraction. Overlapping the fetched-only writes
+    // with real work removes that wall from both levels. Outputs unchanged;
+    // only job start times move. Lineage coalesces to one task: it is
+    // O(partitions) rows and was paying a 16-task write.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    def fut(body: => Unit): Future[Unit] = Future(scala.concurrent.blocking(body))
+    val pending = store.begin(k + 1)
+    val earlyOutputs = Seq(
+      fut(traced("write-pages")(fetched.write.parquet(pending.pagesPath))),
+      fut(traced("write-lineage")(lineageOf(spark, fetched, k).coalesce(1)
+        .write.parquet(pending.lineagePath))))
+
     // --- link candidates: canonical (LinkExtract) + hash + in-batch merge ---
     val cand = fetched.filter($"status" === 200)
       .flatMap(r => r.links.map(l => (l, childPriority(r.priority))))
@@ -497,13 +516,9 @@ object CrawlRound {
       else notDue.unionByName(deferred).unionByName(newEntries).persist()
 
     // --- commit snapshot k+1 ------------------------------------------------
-    // The snapshot outputs (frontier / seen delta / compaction / pages /
-    // lineage / filter) are INDEPENDENT targets over already-cached inputs,
-    // so they run as CONCURRENT Spark jobs: each one is small and
-    // latency-bound at high core counts, and running them back-to-back was a
-    // measured slice of the round's non-scaling (Amdahl) serial fraction.
-    // Outputs are unchanged — concurrency reorders job start times only.
-    val pending = store.begin(k + 1)
+    // The remaining snapshot outputs (frontier / seen delta / compaction /
+    // filter) are INDEPENDENT targets over already-cached inputs and run as
+    // CONCURRENT Spark jobs (pages + lineage are already in flight above).
     val newSeen = trulyNew.select($"url_hash_hi", $"url_hash_lo", $"url",
       lit(k + 1).as("first_seen_round")).as[SeenUrl]
 
@@ -575,11 +590,7 @@ object CrawlRound {
     }
 
     {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      def fut(body: => Unit): Future[Unit] = Future(scala.concurrent.blocking(body))
-      val outputs = Seq(
+      val outputs = earlyOutputs ++ Seq(
         fut((traced("write-frontier")(
           if (deltaMode) {
             // churn only: upserts (deferred + newly discovered) and removals
@@ -597,10 +608,6 @@ object CrawlRound {
           } else orderedFrontierWrite(nextFrontier, pending.frontierPath)))),
         fut((traced("write-seen")(
           newSeen.write.parquet(pending.seenDeltaPath)))),
-        fut((traced("write-pages")(
-          fetched.write.parquet(pending.pagesPath)))),
-        fut((traced("write-lineage")(
-          lineageOf(spark, fetched, k).write.parquet(pending.lineagePath)))),
         fut(writeFilter())) ++
         // periodic compaction: materialize the whole seen set hash-partitioned,
         // so loadSeen reads one clustered base + a few deltas (SURVEY.md §4.2)

@@ -29,6 +29,22 @@ object TraceRound {
       java.nio.file.Files.deleteIfExists(p)
     }
     rm(java.nio.file.Paths.get(dir))
+    // job-level timeline: per-job wall + the GAP since the previous job
+    // ended. Gaps during the timed round are pure driver/serial time
+    // (planning, collects, commit, scheduling) — the non-scaling slice the
+    // efficiency metric pays at every core count. Gaps can be negative
+    // while concurrent jobs overlap (the write phase).
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(js.jobId, js.time)
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = starts.getOrDefault(je.jobId, je.time)
+          jobLog.add((je.jobId, s, je.time))
+        }
+      })
     val store = new SnapshotStore(spark, dir)
     val cfg = CrawlConfig(hostBudget = 1000, roundCap = Int.MaxValue,
       bloomExpectedItems = 1L << 22,
@@ -42,9 +58,29 @@ object TraceRound {
     val tw = System.nanoTime()
     CrawlRound.run(spark, store, 0, cfg) // warm-up
     System.err.println(f"[trace] warmup-round0: ${(System.nanoTime() - tw) / 1e9}%.2fs")
+    jobLog.clear()
+    val wall0 = System.currentTimeMillis()
     val t0 = System.nanoTime()
     val m = CrawlRound.run(spark, store, 1, cfg).metrics
     val secs = (System.nanoTime() - t0) / 1e9
+    // drain the round's job timeline (listener events are async — settle)
+    Thread.sleep(300)
+    val jobs = {
+      import scala.jdk.CollectionConverters._
+      jobLog.asScala.toVector.sortBy(_._2)
+    }
+    var prevEnd = wall0
+    var gapSum = 0L
+    jobs.foreach { case (id, s, e) =>
+      val gap = s - prevEnd
+      if (gap > 0) gapSum += gap
+      System.err.println(f"[jobs] job $id%3d start+${(s - wall0) / 1000.0}%6.2fs " +
+        f"wall ${(e - s) / 1000.0}%6.2fs gap ${gap / 1000.0}%6.2fs")
+      prevEnd = math.max(prevEnd, e)
+    }
+    val tail = wall0 + (secs * 1000).toLong - prevEnd
+    System.err.println(f"[jobs] n=${jobs.size} positive-gap total ${gapSum / 1000.0}%.2fs " +
+      f"tail-after-last-job ${math.max(tail, 0) / 1000.0}%.2fs of $secs%.2fs round")
     println(f"cpus=$cpus n=$n fetched=${m.fetched} new=${m.new_urls} " +
       f"sec=$secs%.2f thpt=${(m.fetched + m.new_urls) / secs}%.1f")
     spark.stop()

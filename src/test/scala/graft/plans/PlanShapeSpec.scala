@@ -119,6 +119,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("rank<=k window compiles to WindowGroupLimit (partial top-k before the full sort)") {
+    // Spark pushes a rank-filter into the window as a group limit that runs
+    // map-side BEFORE the exchange — the per-group top-k never shuffles the
+    // losers. Locked: losing this silently makes q_window_rank shuffle the
+    // whole table again.
+    val physical = SparkEntry.queries("q_window_rank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(physical.contains("WindowGroupLimit"), physical)
+  }
+
   test("simhash pair path is UDF-free: codegen bit_count, no ScalaUDF") {
     // the per-doc signature UDF (pinned xxh64 arithmetic) is upstream in
     // simHashIndex; the PAIR path — bucket join + Hamming verify — must stay

@@ -216,7 +216,7 @@ object CrawlRound {
     // equivalence-tested). Map form also fuses hot-host detection into the
     // same job — ONE groupBy serves both driver maps.
     val defaultDelay = cfg.crawlDelayDefaultMs
-    val (withRobots, hotHosts, rulesBcOpt, robotsCacheOpt) = if (cfg.robotsViaJoin) {
+    val (wrRaw, hotHosts, rulesBcOpt, robotsCacheOpt) = if (cfg.robotsViaJoin) {
       // SCALE FORM (≳10^7 distinct hosts/round): robots bodies ride a
       // broadcast-joined (host, body) table — "fetched" executor-side — and
       // rules compile lazily per executor with a memoized parse. No
@@ -242,7 +242,6 @@ object CrawlRound {
         .withColumn("crawl_delay_ms", delayU($"robots_body"))
         .withColumn("robots_ok", allowedU($"robots_body", $"url"))
         .drop("robots_body")
-        .persist()
       val hot: Map[String, Int] = traced("hot-hosts")(
         due.groupBy($"host").count()
           .filter($"count" > cfg.hotHostThreshold)
@@ -270,20 +269,26 @@ object CrawlRound {
       val wr = due
         .withColumn("crawl_delay_ms", delayOf($"host"))
         .withColumn("robots_ok", robotsOk($"host", $"url"))
-        .persist()
       val hot: Map[String, Int] = traced("hot-hosts")(
         dueHostCounts.iterator
           .filter { case (_, n) => n > cfg.hotHostThreshold }
           .map { case (h, _) => h -> cfg.saltBuckets }.toMap)
       (wr, hot, Some(rulesBc), None)
     }
-    // one fused pass: due count + allowed count (every later count that can be
-    // derived arithmetically is — rounds stay at ~a dozen Spark jobs total)
-    val (nDue, nAllowed) = traced("due+robots-gate")(
-      withRobots.agg(count(lit(1)),
-        sum(when($"robots_ok", 1L).otherwise(0L)))
-        .as[(Long, Long)].head())
-    val robotsDenied = nDue - nAllowed
+    // Gate counts ride as OBSERVED metrics on the first job that
+    // materializes withRobots (the politeness/sequence pass) instead of a
+    // dedicated agg job — that barrier was a measured non-scaling slice of
+    // the round at every core count. Observation metrics are collected by
+    // the first action over the plan (the observe node sits under the
+    // persist, so exactly one full scan feeds it); the values are read at
+    // metrics time, long after that action completed.
+    val gateObs = org.apache.spark.sql.Observation()
+    val withRobots = wrRaw
+      .observe(gateObs, count(lit(1)).as("n_due"),
+        // coalesce: sum over an empty gate is NULL, not 0
+        coalesce(sum(when($"robots_ok", 1L).otherwise(0L)), lit(0L))
+          .as("n_allowed"))
+      .persist()
     val allowed = withRobots.filter($"robots_ok")
 
     // --- politeness (W1/W2 + §4.3 two-phase salted top-k for hot hosts) ----
@@ -471,6 +476,7 @@ object CrawlRound {
         val bfb = spark.sparkContext.broadcast(bloomOf(prevBloomBytes))
         Some(udf((h: Long) => bfb.value.mightContainLong(h)))
       }
+    val dedupObs = org.apache.spark.sql.Observation()
     def antiJoinAll(df: org.apache.spark.sql.DataFrame) =
       df.join(seen.select($"url_hash_hi", $"url_hash_lo"),
         Seq("url_hash_hi", "url_hash_lo"), "left_anti")
@@ -492,9 +498,11 @@ object CrawlRound {
           antiJoinAll(suspects).unionByName(definitelyNew)
         case None =>
           antiJoinAll(cand)
-      }).persist()
-    val nNew = traced("seen-dedup")(trulyNew.count())
-    val nCand = traced("link-candidates")(cand.count()) // cached by the job above
+      // seen-dedup count rides as an observation on the first write job that
+      // materializes trulyNew (the seen/filter/frontier writes are all full
+      // scans over it) — the dedicated count job was another non-scaling
+      // barrier on the critical path. Read at metrics time, post-writes.
+      }).observe(dedupObs, count(lit(1)).as("n_new")).persist()
 
     val newEntries = trulyNew.select(
         $"url", $"url_hash", $"url_hash_hi", $"url_hash_lo", $"host", $"priority",
@@ -619,6 +627,17 @@ object CrawlRound {
         else Nil)
       Await.result(Future.sequence(outputs), Duration.Inf)
     }
+
+    // Observed metrics become available here: every write has completed, so
+    // the first actions over withRobots (politeness pass) and trulyNew (the
+    // seen/filter/frontier writes) are long done. Await-free in practice;
+    // Observation.get still guards the ordering formally.
+    val gateRow = gateObs.get
+    val nDue = gateRow("n_due").asInstanceOf[Long]
+    val nAllowed = gateRow("n_allowed").asInstanceOf[Long]
+    val robotsDenied = nDue - nAllowed
+    val nNew = dedupObs.get("n_new").asInstanceOf[Long]
+    val nCand = traced("link-candidates")(cand.count()) // cached count, post-writes
 
     // deferred / frontier / seen sizes follow arithmetically — no extra jobs:
     // next_frontier = prev − due + deferred + new, deferred = allowed − gated

@@ -130,19 +130,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 60k seeds → ~2M URLs fetched+deduped in the timed round. Size matters
-    // for the SCALING measurement, not just the throughput one: at 30k the
-    // per-round fixed costs (job barriers, driver maps, commit) were ~9s of
-    // the 16-core time — a third of the round — capping measured 4→16
-    // efficiency at ~0.67 even in healthy host windows. The design point is
-    // a 10^10-URL frontier where that fixed slice is noise; 2M per round is
-    // the largest bench that keeps a worst-case (3-attempt) run under the
-    // driver's patience.
-    // 60k seeds → ~1.7M URLs in the timed round: the best measured trade
-    // between fixed-cost dilution (see above) and bounded worst-case wall
-    // time — in a starved host phase every stage inflates ~3-5×, and a 100k
-    // round was measured at 19 min for two attempts in one such phase
-    val benchUrls = sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "60000").toLong
+    // Round size matters for the SCALING measurement, not just throughput:
+    // the per-round fixed slice (job barriers, driver maps, writes' per-file
+    // costs, commit) appears at every core count, so efficiency rises with
+    // the parallel work that amortizes it (measured: 30k → ~0.67, 60k →
+    // ~0.70-0.77 in unstarved-lo windows after the round-3 serial cuts).
+    // The design point is a 10^10-URL frontier where that slice is noise.
+    // 100k seeds → ~2.8M URLs in the timed round became affordable in round
+    // 3: attempts reuse the prepared store (no per-attempt re-prep), the
+    // serial cuts shortened both levels, and the budget below still bounds a
+    // starved-phase run (a pre-round-3 100k bench measured 19 min for two
+    // attempts in one such phase — with re-prep costs that no longer exist).
+    val benchUrls = sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "100000").toLong
 
     // part 1: headline queries
     val spark = newSession(cpus)
@@ -189,8 +188,10 @@ object Bench {
     // are disclosed in the JSON.
     val attempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
     // wall-clock guard: never START a new attempt past this point — bounds a
-    // starved-host run at (budget + one starved attempt) instead of N of them
-    val crawlBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toInt
+    // starved-host run at (budget + one starved attempt) instead of N of them.
+    // 540 s fits three 100k attempts in a healthy window (prep ~125 s + ~195 s
+    // per attempt with the reused store).
+    val crawlBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "540").toInt
     // healthy host window = same-window raw-thread ceiling in [0.7, 1.3]:
     // below 0.7 the hi window was starved (eff understated unfairly for the
     // engine, but also unverifiable); above 1.3 the LO kernel sample was

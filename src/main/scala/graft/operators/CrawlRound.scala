@@ -410,8 +410,18 @@ object CrawlRound {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    def fut(body: => Unit): Future[Unit] = Future(scala.concurrent.blocking(body))
+    // every write future is tracked so a failure anywhere between begin and
+    // commit can DRAIN them before dropping the tmp dir (Scala Futures are
+    // not cancellable; aborting while a write still runs would race a
+    // retry's begin(k+1) deleting the dir under it)
+    val launched = scala.collection.mutable.ArrayBuffer.empty[Future[Unit]]
+    def fut(body: => Unit): Future[Unit] = {
+      val f = Future(scala.concurrent.blocking(body))
+      launched.synchronized { launched += f }
+      f
+    }
     val pending = store.begin(k + 1)
+    try {
     val earlyOutputs = Seq(
       fut(traced("write-pages")(fetched.write.parquet(pending.pagesPath))),
       fut(traced("write-lineage")(lineageOf(spark, fetched, k).coalesce(1)
@@ -476,7 +486,6 @@ object CrawlRound {
         val bfb = spark.sparkContext.broadcast(bloomOf(prevBloomBytes))
         Some(udf((h: Long) => bfb.value.mightContainLong(h)))
       }
-    val dedupObs = org.apache.spark.sql.Observation()
     def antiJoinAll(df: org.apache.spark.sql.DataFrame) =
       df.join(seen.select($"url_hash_hi", $"url_hash_lo"),
         Seq("url_hash_hi", "url_hash_lo"), "left_anti")
@@ -498,11 +507,14 @@ object CrawlRound {
           antiJoinAll(suspects).unionByName(definitelyNew)
         case None =>
           antiJoinAll(cand)
-      // seen-dedup count rides as an observation on the first write job that
-      // materializes trulyNew (the seen/filter/frontier writes are all full
-      // scans over it) — the dedicated count job was another non-scaling
-      // barrier on the critical path. Read at metrics time, post-writes.
-      }).observe(dedupObs, count(lit(1)).as("n_new")).persist()
+      // n_new is counted AFTER the writes from the populated cache (like
+      // nCand below), NOT via an Observation here: the first actions over
+      // trulyNew are THREE concurrent write jobs racing to materialize the
+      // cache, and Observation snapshots its metrics when the FIRST of them
+      // completes — accumulator updates from another job's still-running
+      // tasks would be missing, silently undercounting n_new (and with it
+      // the frontier/seen manifest arithmetic every later round inherits).
+      }).persist()
 
     val newEntries = trulyNew.select(
         $"url", $"url_hash", $"url_hash_hi", $"url_hash_lo", $"host", $"priority",
@@ -538,9 +550,14 @@ object CrawlRound {
     def writeFilter(): Unit = if (sharded) {
       // sharded bloom lifecycle: per-shard delta blooms in ONE distributed
       // groupBy aggregation (BloomAgg — stat.bloomFilter cannot group), then
-      // merged into the previous shards ONE SHARD AT A TIME driver-side
-      // (O(total/n) driver memory). Prev shards missing (cold / round 0) →
-      // the same single aggregation builds the full set from seen ∪ new.
+      // each TASK merges its shard(s) with the previous snapshot's shard
+      // file and writes the result straight into the staging dir — shard
+      // bytes never pass through the driver. (The previous collect().toMap
+      // held ALL shards at once ≈ the total filter size, ~12 GB at the
+      // 10^10/1% design point — exactly the structure sharding exists to
+      // avoid.) repartition(n, shard) puts ≈1 shard per task, so peak task
+      // memory is O(total/n). Prev shards missing (cold / round 0) → the
+      // same aggregation builds the full set from seen ∪ new.
       val n = cfg.filterShards
       val (perShard, numBits) = shardSizing(spark, cfg)
       val havePrev = store.filterShardsExist(k, n)
@@ -548,23 +565,46 @@ object CrawlRound {
         if (havePrev) trulyNew.select($"url_hash")
         else seen.toDF().unionByName(newSeen.toDF())
           .select(xxh64OfUrl($"url").as("url_hash"))
-      val deltas: Map[Int, Array[Byte]] = traced("bloom-shard-build")(
+      val outDir = pending.filterShardsDir
+      val prevPaths: Array[String] =
+        if (havePrev) (0 until n).map(i => store.filterShardPath(k, i)).toArray
+        else Array.empty
+      traced("bloom-shard-build")(
         src.withColumn("shard", pmod($"url_hash", lit(n.toLong)).cast("int"))
           .groupBy($"shard")
           .agg(org.apache.spark.sql.graftexpr.BloomAgg($"url_hash", perShard,
             numBits).as("bytes"))
-          .as[(Int, Array[Byte])].collect().toMap)
+          .repartition(n, $"shard")
+          .as[(Int, Array[Byte])]
+          .foreachPartition { (it: Iterator[(Int, Array[Byte])]) =>
+            it.foreach { case (i, delta) =>
+              val bytes =
+                if (prevPaths.isEmpty) delta
+                else {
+                  val in = java.nio.file.Files.newInputStream(
+                    java.nio.file.Paths.get(prevPaths(i)))
+                  val prev = try BloomFilter.readFrom(in) finally in.close()
+                  prev.mergeInPlace(
+                    BloomFilter.readFrom(new java.io.ByteArrayInputStream(delta)))
+                  val bos = new java.io.ByteArrayOutputStream()
+                  prev.writeTo(bos)
+                  bos.toByteArray
+                }
+              graft.sources.SnapshotStore.writeShardFile(outDir, i, bytes)
+            }
+          })
+      // shards that saw no delta row this round: carry the previous file
+      // forward (byte copy — never deserialized) or write an empty filter;
+      // driver-side, one shard in flight at a time
       (0 until n).foreach { i =>
-        val prev = if (havePrev) store.loadFilterShard(k, i) else None
-        val bytes = (prev, deltas.get(i)) match {
-          case (Some(p), Some(d)) =>
-            val bf = bloomOf(p); bf.mergeInPlace(bloomOf(d)); bloomBytes(bf)
-          case (Some(p), None) => p
-          case (None, Some(d)) => d
-          case (None, None) =>
-            bloomBytes(BloomFilter.create(perShard, numBits))
+        val out = java.nio.file.Paths.get(outDir, s"shard-$i.bin")
+        if (!java.nio.file.Files.exists(out)) {
+          if (havePrev)
+            java.nio.file.Files.copy(java.nio.file.Paths.get(prevPaths(i)), out)
+          else
+            pending.writeFilterShard(i,
+              bloomBytes(BloomFilter.create(perShard, numBits)))
         }
-        pending.writeFilterShard(i, bytes)
       }
     } else if (cfg.filterKind == "cuckoo") {
       val merged = graft.functions.CuckooFilter.deserialize(prevCuckooBytes)
@@ -628,15 +668,17 @@ object CrawlRound {
       Await.result(Future.sequence(outputs), Duration.Inf)
     }
 
-    // Observed metrics become available here: every write has completed, so
-    // the first actions over withRobots (politeness pass) and trulyNew (the
-    // seen/filter/frontier writes) are long done. Await-free in practice;
-    // Observation.get still guards the ordering formally.
+    // The gate observation is sound because EXACTLY ONE job materializes the
+    // withRobots cache (the synchronous politeness/sequence pass, which
+    // completes before any other consumer runs) — unlike trulyNew, whose
+    // cache is raced by three concurrent writers, so its count comes from
+    // the populated cache below instead (cheap: cached scan, off the
+    // critical path — the writes are already done).
     val gateRow = gateObs.get
     val nDue = gateRow("n_due").asInstanceOf[Long]
     val nAllowed = gateRow("n_allowed").asInstanceOf[Long]
     val robotsDenied = nDue - nAllowed
-    val nNew = dedupObs.get("n_new").asInstanceOf[Long]
+    val nNew = traced("n-new")(trulyNew.count()) // cached count, post-writes
     val nCand = traced("link-candidates")(cand.count()) // cached count, post-writes
 
     // deferred / frontier / seen sizes follow arithmetically — no extra jobs:
@@ -659,6 +701,16 @@ object CrawlRound {
       .foreach(_.unpersist(blocking = false))
     rulesBcOpt.foreach(_.destroy())
     RoundResult(k, metrics)
+    } catch {
+      case t: Throwable =>
+        // drain every in-flight write future, then drop the staged snapshot:
+        // leaving orphaned writes running into the tmp dir would race a
+        // retry's begin(k+1) deleting that dir concurrently
+        launched.synchronized(launched.toList)
+          .foreach(f => scala.util.Try(Await.ready(f, Duration.Inf)))
+        scala.util.Try(pending.abort())
+        throw t
+    }
   }
 
   private def manifestField(store: SnapshotStore, k: Int, field: String): Option[Long] =

@@ -54,19 +54,30 @@ object FrontierGen {
       // BloomAgg deltas (CrawlRound.shardSizing)
       val n = cfg.filterShards
       val (perShard, numBits) = CrawlRound.shardSizing(spark, cfg)
-      val built: Map[Int, Array[Byte]] = entries.toDF()
+      // each task writes its shard(s) straight into the staging dir — shard
+      // bytes never pass through the driver (a collect here would hold the
+      // whole ≈total-filter-size map at once; see CrawlRound.writeFilter)
+      val outDir = pending.filterShardsDir
+      entries.toDF()
         .withColumn("shard", pmod($"url_hash", lit(n.toLong)).cast("int"))
         .groupBy($"shard")
         .agg(org.apache.spark.sql.graftexpr.BloomAgg($"url_hash", perShard,
           numBits).as("bytes"))
-        .as[(Int, Array[Byte])].collect().toMap
+        .repartition(n, $"shard")
+        .as[(Int, Array[Byte])]
+        .foreachPartition { (it: Iterator[(Int, Array[Byte])]) =>
+          it.foreach { case (i, bytes) =>
+            graft.sources.SnapshotStore.writeShardFile(outDir, i, bytes) }
+        }
+      // empty shards (no url hashed into them): one filter in flight at a time
       (0 until n).foreach { i =>
-        val bytes = built.getOrElse(i, {
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(outDir, s"shard-$i.bin"))) {
           val bf = org.apache.spark.util.sketch.BloomFilter.create(perShard, numBits)
           val bos = new java.io.ByteArrayOutputStream()
-          bf.writeTo(bos); bos.toByteArray
-        })
-        pending.writeFilterShard(i, bytes)
+          bf.writeTo(bos)
+          pending.writeFilterShard(i, bos.toByteArray)
+        }
       }
     } else {
       pending.writeBloom(entries.select($"url_hash").coalesce(4).stat

@@ -34,6 +34,10 @@ object LinkGraph {
   /** Host-level graph: distinct (src_host, dst_host) edges with multiplicity
     * — the politeness/frontier-budget signal at host granularity. */
   def hostEdges(edges: DataFrame): DataFrame = {
+    // UDF justified (same rule as the robots gate): hosts MUST come from the
+    // pinned canonicalizer — built-in parse_url differs on the golden edge
+    // cases (default-port/percent-case handling), which would split one
+    // host's edges across two vertices
     val hostOf = udf((u: String) => graft.core.UrlCanon.hostOf(u))
     edges.select(hostOf(col("src")).as("src_host"), hostOf(col("dst")).as("dst_host"))
       .groupBy(col("src_host"), col("dst_host")).agg(count(lit(1)).as("n_links"))
@@ -56,34 +60,52 @@ object LinkGraph {
     // logical plan once per iteration — analysis/planning cost explodes
     // exponentially without lineage truncation. On a cluster with executor
     // churn, use reliable checkpointing (sc.setCheckpointDir) instead.
-    var ranks = vertices.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    //
+    // ranks carries out_degree through the iterations so the NEXT
+    // iteration's dangling mass (Σ rank over outlink-less vertices) rides
+    // the SAME job that materializes the ranks, as an observed metric — one
+    // job per iteration instead of a dedicated driver `.head()` per
+    // iteration (2× job count on deep runs). The observation cannot race:
+    // exactly ONE action materializes each observed plan (the eager
+    // localCheckpoint), and later consumers read the checkpointed RDD, not
+    // the logical plan (contrast the n_new cache race in CrawlRound).
+    def observed(df: DataFrame)
+        : (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      (df.observe(obs,
+          coalesce(sum(when(col("out_degree").isNull, col("rank"))), lit(0.0))
+            .as("dangling"))
+        .localCheckpoint(true), obs)
+    }
+    var (ranks, obs) = observed(vertices.join(outDeg, Seq("url"), "left")
+      .withColumn("rank", lit(1.0 / n)))
     var i = 0
     while (i < iterations) {
-      val withDeg = ranks.join(outDeg, Seq("url"), "left")
       // mass of dangling vertices (no outlinks) spreads uniformly
-      val dangling = withDeg.filter(col("out_degree").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).as[Double].head()
+      val dangling = obs.get("dangling").asInstanceOf[Double]
       val contribs = edges
-        .join(withDeg.filter(col("out_degree").isNotNull)
+        .join(ranks.filter(col("out_degree").isNotNull)
           .select(col("url").as("src"), (col("rank") / col("out_degree")).as("c")),
           Seq("src"))
         .groupBy(col("dst").as("url"))
         .agg(sum(col("c")).as("in_mass"))
-      val next = vertices.join(contribs, Seq("url"), "left")
-        .select(col("url"),
-          (lit((1 - damping) / n) +
-            lit(damping) * (coalesce(col("in_mass"), lit(0.0)) + lit(dangling / n)))
-            .as("rank"))
-        .localCheckpoint(true)
+      val (next, nextObs) = observed(
+        vertices.join(outDeg, Seq("url"), "left")
+          .join(contribs, Seq("url"), "left")
+          .select(col("url"), col("out_degree"),
+            (lit((1 - damping) / n) +
+              lit(damping) * (coalesce(col("in_mass"), lit(0.0)) + lit(dangling / n)))
+              .as("rank")))
       // free the superseded iteration's checkpointed blocks (same storage
       // hygiene as Dedup.nearDupGroups — one copy per iteration otherwise)
       org.apache.spark.sql.graftexpr.IterUtils.unpersistCheckpoint(ranks)
       ranks = next
+      obs = nextObs
       i += 1
     }
     vertices.unpersist(blocking = false)
     outDeg.unpersist(blocking = false)
-    ranks
+    ranks.select(col("url"), col("rank"))
   }
 
   /** Rank-driven frontier reprioritization: map each ranked frontier URL's

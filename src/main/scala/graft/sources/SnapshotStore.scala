@@ -222,11 +222,15 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     def writeCuckoo(cf: graft.functions.CuckooFilter): Unit =
       Files.write(dir.resolve("cuckoo.bin"), cf.serialized)
 
-    def writeFilterShard(i: Int, bytes: Array[Byte]): Unit = {
-      val d = dir.resolve("filter_shards")
-      Files.createDirectories(d)
-      Files.write(d.resolve(s"shard-$i.bin"), bytes)
-    }
+    def writeFilterShard(i: Int, bytes: Array[Byte]): Unit =
+      SnapshotStore.writeShardFile(filterShardsDir, i, bytes)
+
+    /** Executor-visible staging dir for per-shard filter files: the sharded
+      * filter lifecycle writes each shard's merged bytes from the TASK that
+      * built it (`SnapshotStore.writeShardFile`), so shard bytes never pass
+      * through the driver. On a cluster this is the shared store — the same
+      * reachability assumption as every parquet table in the snapshot. */
+    def filterShardsDir: String = dir.resolve("filter_shards").toString
 
     /** Step 2–4 of the protocol. `manifestJson` must already be deterministic
       * (no wall-clock fields) so identical runs byte-compare (SURVEY.md §5.4). */
@@ -253,5 +257,20 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       finally s.close() // directory streams hold an fd until closed
     }
     Files.deleteIfExists(p)
+  }
+}
+
+object SnapshotStore {
+  /** Atomic shard-file write (unique tmp + ATOMIC_MOVE), callable from
+    * executor tasks: a retried/speculated task overwrites idempotently (the
+    * bytes are deterministic per shard), and a crash mid-write leaves only
+    * an invisible tmp file inside the staging dir. */
+  def writeShardFile(dirPath: String, i: Int, bytes: Array[Byte]): Unit = {
+    val d = Paths.get(dirPath)
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".shard-$i.${java.util.UUID.randomUUID()}.tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, d.resolve(s"shard-$i.bin"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 }

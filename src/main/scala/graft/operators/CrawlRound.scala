@@ -529,8 +529,27 @@ object CrawlRound {
     // Delta mode skips the persist: the full union is only consumed on the
     // rare fallback count — caching 10^10 rows for that would defeat the
     // point of the log-structured layout.
-    val deltaMode = cfg.frontierDeltas &&
-      (k + 1) % math.max(cfg.compactFrontierEvery, 1) != 0
+    val deltaMode = cfg.frontierDeltas && {
+      if (cfg.compactFrontierChurnRatio > 0) {
+        // churn-driven cadence: delta while Σ delta rows since the last full
+        // base < ratio × base size, else compact. Chain churn comes from the
+        // manifests already on disk (snapshot r's manifest holds round r-1's
+        // metrics; its delta rows = deferred + new upserts + fetched +
+        // denied removals) — no jobs, O(chain length) driver string parses.
+        val base = (k to 0 by -1).find(store.hasFullFrontier)
+        val baseSize = base.flatMap(b => manifestField(store, b, "frontier_size"))
+        val chainChurn = base.map { b =>
+          ((b + 1) to k).map { r =>
+            Seq("deferred", "new_urls", "fetched", "robots_denied")
+              .map(f => manifestField(store, r, f).getOrElse(0L)).sum
+          }.sum
+        }.getOrElse(0L)
+        baseSize match {
+          case Some(bs) => chainChurn < (cfg.compactFrontierChurnRatio * bs).toLong
+          case None => (k + 1) % math.max(cfg.compactFrontierEvery, 1) != 0
+        }
+      } else (k + 1) % math.max(cfg.compactFrontierEvery, 1) != 0
+    }
     val nextFrontier =
       if (deltaMode) notDue.unionByName(deferred).unionByName(newEntries)
       else notDue.unionByName(deferred).unionByName(newEntries).persist()

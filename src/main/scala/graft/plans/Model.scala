@@ -172,7 +172,18 @@ object Model {
       // (SnapshotStore.loadFrontier). Identical crawl output
       // (equivalence-tested).
       frontierDeltas: Boolean = false,
-      compactFrontierEvery: Int = 8)
+      compactFrontierEvery: Int = 8,
+      // 0 (default): compaction on the fixed compactFrontierEvery cadence.
+      // > 0: CHURN-DRIVEN cadence — keep writing deltas while the
+      // accumulated delta rows since the last full base stay under
+      // ratio × base-frontier-size, then compact. DeltaBench measured the
+      // delta layout's cost concentrating in chain-growth + compaction
+      // rounds, so the right cadence tracks churn, not round count: a
+      // low-churn steady state compacts rarely; a churn spike compacts
+      // before the merge-on-read chain gets expensive. Decided from
+      // manifests — zero extra jobs. Identical crawl output either way
+      // (layout never affects semantics; equivalence-tested).
+      compactFrontierChurnRatio: Double = 0.0)
 
   /** round_ts(k) — rounds tick on a fixed cadence so deferred entries
     * (next_fetch_ts = round_ts + budget*delay) come due by the next round. */

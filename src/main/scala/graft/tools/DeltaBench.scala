@@ -26,8 +26,12 @@ import graft.sources.SnapshotStore
   * n/spread + 9·cap, a small fraction of the frontier — the mature-crawl
   * shape the layout exists for.
   *
-  * Usage: runMain graft.tools.DeltaBench [cpus] [nUrls] [spread] [rounds] [cap]
-  * (defaults 16, 2000000, 40, 3, 10000). IO on /dev/shm like Bench.
+  * Usage: runMain graft.tools.DeltaBench [cpus] [nUrls] [spread] [rounds]
+  * [cap] [churnRatio] (defaults 16, 2000000, 40, 3, 10000, 0). With
+  * churnRatio > 0 a THIRD arm runs the churn-driven compaction cadence
+  * (CrawlConfig.compactFrontierChurnRatio) interleaved with the other two —
+  * same input, same rounds, compaction timing decided by accumulated churn
+  * instead of the fixed every-4 cadence.
   */
 object DeltaBench {
 
@@ -45,6 +49,7 @@ object DeltaBench {
     val spread = args.lift(2).getOrElse("40").toInt
     val rounds = args.lift(3).getOrElse("3").toInt
     val cap = args.lift(4).getOrElse("10000").toInt
+    val churnRatio = args.lift(5).getOrElse("0").toDouble
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .appName("delta-bench")
       .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -65,35 +70,46 @@ object DeltaBench {
       rm(java.nio.file.Paths.get(dir))
       val cfg = CrawlConfig(hostBudget = 1000, roundCap = cap,
         bloomExpectedItems = 1L << 23,
-        frontierDeltas = layout == "deltas",
+        frontierDeltas = layout != "full",
         // compaction INSIDE the measured window: the delta layout's honest
         // cost is the amortized cycle (churn-only rounds + the periodic full
-        // rewrite), not an ever-growing delta chain
-        compactFrontierEvery = 4)
+        // rewrite), not an ever-growing delta chain. The churn arm disables
+        // the fixed cadence (huge modulus) so only the ratio decides.
+        compactFrontierEvery = if (layout == "churn") Int.MaxValue else 4,
+        compactFrontierChurnRatio = if (layout == "churn") churnRatio else 0.0)
       val store = new SnapshotStore(spark, dir)
       FrontierGen.init(spark, store, n, cfg, spreadRounds = spread)
       CrawlRound.run(spark, store, 0, cfg) // warm-up (codegen etc.), untimed
       (store, cfg)
     }
-    val layouts = Seq("full", "deltas").map(l => l -> mkStore(l)).toMap
+    val layoutNames =
+      Seq("full", "deltas") ++ (if (churnRatio > 0) Seq("churn") else Nil)
+    val layouts = layoutNames.map(l => l -> mkStore(l)).toMap
     val walls = scala.collection.mutable.Map.empty[String,
       Vector[(Double, graft.plans.Model.RoundMetrics)]].withDefaultValue(Vector.empty)
-    for (k <- 1 to rounds; layout <- Seq("full", "deltas")) {
+    for (k <- 1 to rounds; layout <- layoutNames) {
       val (store, cfg) = layouts(layout)
       val t0 = System.nanoTime()
       val m = CrawlRound.run(spark, store, k, cfg).metrics
       walls(layout) = walls(layout) :+ ((System.nanoTime() - t0) / 1e9, m)
     }
-    for (layout <- Seq("full", "deltas")) {
+    for (layout <- layoutNames) {
       val ws = walls(layout)
       val lastM = ws.last._2
       val wallsJson = ws.map(w => f"${w._1}%.2f").mkString("[", ",", "]")
       val dues = ws.map(_._2.due).mkString("[", ",", "]")
       val news = ws.map(_._2.new_urls).mkString("[", ",", "]")
+      // which snapshots carry a full frontier (compaction rounds) — the
+      // cadence under comparison, read straight off the store
+      val compacted = (1 to (rounds + 1))
+        .filter(i => layouts(layout)._1.hasFullFrontier(i))
+        .mkString("[", ",", "]")
       println(
         f"""{"layout":"$layout","cpus":$cpus,"n_urls":$n,"spread":$spread,""" +
-        f""""round_walls_sec":$wallsJson,"total_sec":${ws.map(_._1).sum}%.2f,""" +
+        f""""churn_ratio":$churnRatio,"round_walls_sec":$wallsJson,""" +
+        f""""total_sec":${ws.map(_._1).sum}%.2f,""" +
         f""""round_due":$dues,"round_new":$news,""" +
+        f""""full_frontier_snapshots":$compacted,""" +
         f""""final_frontier_size":${lastM.frontier_size},""" +
         f""""final_seen_size":${lastM.seen_size}}""")
     }

@@ -71,6 +71,38 @@ class FrontierDeltaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("chain broken"))
   }
 
+  test("churn-driven compaction cadence reproduces the identical crawl") {
+    val full = crawl(baseCfg, "fdelta-churn-full")
+    // tiny ratio: the growth-phase crawl's churn ≈ frontier size, so the
+    // ratio trips quickly and compactions actually occur inside the window
+    // (the fixed cadence is disabled via a huge modulus — only churn decides)
+    val churnCfg = baseCfg.copy(frontierDeltas = true,
+      compactFrontierEvery = Int.MaxValue, compactFrontierChurnRatio = 0.5)
+    val churn = crawl(churnCfg, "fdelta-churn-log")
+    // identical judged artifacts + identical reconstructed frontiers: the
+    // cadence changes WHERE full bases land, never what the frontier is
+    assert(Crawler.ordering(spark, full).collect().toSeq ===
+      Crawler.ordering(spark, churn).collect().toSeq)
+    assert(Crawler.seenDigest(spark, full) === Crawler.seenDigest(spark, churn))
+    (0 to rounds).foreach { k =>
+      assert(frontierSet(full, k) === frontierSet(churn, k), s"frontier $k differs")
+    }
+    import java.nio.file.{Files, Paths}
+    val fullSnapshots = (1 to rounds)
+      .filter(k => Files.exists(Paths.get(churn.frontierPath(k))))
+    // the ratio must actually trigger at least one compaction AND at least
+    // one delta round in this window, else the test pins nothing
+    assert(fullSnapshots.nonEmpty, "churn ratio never triggered a compaction")
+    assert(fullSnapshots.size < rounds, "every round compacted — ratio never deferred")
+    // cadence is churn-driven: each compaction snapshot c was preceded by a
+    // chain whose accumulated churn crossed ratio × base — verified
+    // indirectly by determinism (re-run lands the same cadence)
+    val churn2 = crawl(churnCfg, "fdelta-churn-log2")
+    val fullSnapshots2 = (1 to rounds)
+      .filter(k => Files.exists(Paths.get(churn2.frontierPath(k))))
+    assert(fullSnapshots === fullSnapshots2, "cadence not deterministic")
+  }
+
   test("resume mid-delta-chain from a fresh store handle is identical") {
     val a = new SnapshotStore(spark, SparkTestSession.tempDir("fdelta-resume-a"))
     Crawler.run(spark, a, SyntheticWeb.seeds(12), rounds, deltaCfg)

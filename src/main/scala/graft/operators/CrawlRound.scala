@@ -663,8 +663,17 @@ object CrawlRound {
       pending.writeCuckoo(cf)
     } else {
       // same (expectedItems, fpp) as the persistent filter — mergeInPlace
-      // requires identical bit-array sizes
-      val deltaBloom = traced("bloom-build")(trulyNew.select($"url_hash").coalesce(4)
+      // requires identical bit-array sizes. Fan-in: every scan partition
+      // yields a FULL-size partial filter, so the coalesce caps the
+      // serialized megabytes through the aggregate — but a fixed coalesce(4)
+      // also capped the delta scan at 4 cores, a measured ~2–3 s CONSTANT
+      // slice at high core counts (pure non-scaling F; at ≤4 cores the core
+      // count is the cap anyway). 16 partials × ~10 MB (1% fpp, 2^23 items)
+      // sit well inside driver headroom; at filter sizes where 16 partials
+      // would not, the sharded path is the right config, not a tighter cap.
+      val fanIn = math.max(1, math.min(shufflePartitions, 16))
+      val deltaBloom = traced("bloom-build")(trulyNew.select($"url_hash")
+        .coalesce(fanIn)
         .stat.bloomFilter("url_hash", cfg.bloomExpectedItems, cfg.bloomFpp))
       val prevBloom = bloomOf(prevBloomBytes)
       prevBloom.mergeInPlace(deltaBloom)

@@ -12,7 +12,7 @@ import graft.sources.SnapshotStore
   *     --base /path/to/store --rounds 5 [--seeds 20] [--host-budget 4]
   *     [--round-cap 500] [--no-bloom] [--cpus N]
   *     [--filter-kind bloom|cuckoo] [--filter-shards N]
-  *     [--frontier-deltas] [--adaptive-backoff] [--robots-via-join]
+  *     [--frontier-deltas] [--adaptive-backoff] [--robots-form fused|map|join]
   *
   * Runs (or resumes — the store's HEAD decides) the crawl until `rounds`
   * rounds are committed, printing one metrics line per round. On a real
@@ -26,10 +26,9 @@ object CrawlMain {
     // and silently corrupt the options after it. Anything unrecognized,
     // a value that looks like a key, or a dangling key fails LOUDLY —
     // a typo'd option must never silently fall back to a default.
-    val flagNames = Set("no-bloom", "frontier-deltas", "adaptive-backoff",
-      "robots-via-join")
+    val flagNames = Set("no-bloom", "frontier-deltas", "adaptive-backoff")
     val keyNames = Set("base", "rounds", "seeds", "host-budget", "round-cap",
-      "filter-kind", "filter-shards", "cpus")
+      "filter-kind", "filter-shards", "cpus", "robots-form")
     val (flagArgs, kvArgs) =
       args.partition(a => a.startsWith("--") && flagNames.contains(a.drop(2)))
     if (kvArgs.length % 2 != 0)
@@ -54,7 +53,7 @@ object CrawlMain {
       filterShards = opts.getOrElse("filter-shards", "0").toInt,
       frontierDeltas = opts.contains("frontier-deltas"),
       adaptiveBackoff = opts.contains("adaptive-backoff"),
-      robotsViaJoin = opts.contains("robots-via-join"))
+      robotsForm = opts.getOrElse("robots-form", "fused"))
     val cpus = opts.getOrElse("cpus",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
 

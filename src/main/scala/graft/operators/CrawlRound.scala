@@ -44,6 +44,21 @@ object CrawlRound {
 
   private def childPriority(parent: Int): Int = math.max(parent - 1, 0)
 
+  /** Per-executor robots cache for the fused gate form: rules are "fetched"
+    * (SyntheticWeb — the sandbox's only network) and parsed at most once per
+    * (executor, host), then shared by every task on that executor — the
+    * Mercator robots cache moved executor-side, which is what lets the gate
+    * run with no driver robots structure and no dedicated robots job. Rules
+    * are a pure function of host, so cross-executor duplication is only
+    * memory, never divergence; the size cap bounds a long-lived executor
+    * crawling an unbounded host set. */
+  private val hostRulesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Robots.Rules]()
+  private def hostRules(h: String): Robots.Rules = {
+    if (hostRulesCache.size > (1 << 20)) hostRulesCache.clear()
+    hostRulesCache.computeIfAbsent(h, host => SyntheticWeb.robotsFor(host))
+  }
+
   /** xxh64 of a url, computed executor-side — the URL-seen filter key. */
   private val xxh64OfUrl = udf((u: String) => Hashes.xxh64(u))
 
@@ -204,19 +219,37 @@ object CrawlRound {
     val due = frontier.filter($"next_fetch_ts" <= rts)
     val notDue = frontier.filter($"next_fetch_ts" > rts)
 
-    // J2: the robots cache. Rules are "fetched" per distinct host this round
-    // (deterministic SyntheticWeb — the only network in this sandbox),
-    // compiled driver-side, and BROADCAST as a host→Rules map — the classic
-    // crawler robots cache (Mercator-style), same dataflow as a broadcast
-    // hash join but without per-row array-column conversion in the gate UDF
-    // (measured 6× the stage cost at 1M rows/round). Scale note: the map is
-    // O(distinct hosts this round); beyond broadcast size (≳10^7 hosts/round)
-    // swap to the equivalent broadcast/shuffle join on a RobotsEntry table.
-    // Two equivalent forms (cfg.robotsViaJoin; crawl output identical,
-    // equivalence-tested). Map form also fuses hot-host detection into the
-    // same job — ONE groupBy serves both driver maps.
+    // J2: the robots cache, in three equivalent forms (cfg.robotsForm; crawl
+    // output identical, equivalence-tested). "fused" (default): rules are
+    // memoized per executor inside the gate projection — no robots job at
+    // all (the dedicated distinct-hosts pass was a measured ~0.7–1 s
+    // constant at every core count — pure non-scaling round fraction).
+    // "map": the classic Mercator driver-resident robots cache — one
+    // distinct-hosts job, rules compiled driver-side and broadcast (also
+    // fuses hot-host detection into the same groupBy). "join": robots bodies
+    // ride a broadcast-joined (host, body) table with executor-side memoized
+    // parsing — the ≳10^7-distinct-hosts/round form with no O(all-hosts)
+    // driver structure. All rules come from the pinned RFC 9309 parser
+    // (deterministic SyntheticWeb bodies — the only network in this sandbox).
     val defaultDelay = cfg.crawlDelayDefaultMs
-    val (wrRaw, hotHosts, rulesBcOpt, robotsCacheOpt) = if (cfg.robotsViaJoin) {
+    val (wrRaw, hotHosts, rulesBcOpt, robotsCacheOpt) = if (cfg.robotsForm == "fused") {
+      // FUSED FORM (default): rules come from a per-executor memoized cache
+      // keyed by host — the robots "fetch" happens at most once per
+      // (executor, host) inside the gate projection itself. No distinct-
+      // hosts job, no driver map, no broadcast: the robots barrier that cost
+      // the round a constant ~0.7–1 s at EVERY core count (job + collect +
+      // rules serialization) disappears from the critical path entirely.
+      // UDF justified (same rule as the other forms): rules MUST come from
+      // the pinned RFC 9309 parser, which parse_url/regex cannot express.
+      val robotsOkU = udf { (host: String, url: String) =>
+        hostRules(host).allowed(UrlCanon.pathOf(url))
+      }
+      val delayU = udf { (host: String) => hostRules(host).crawlDelayMs }
+      val wr = due
+        .withColumn("crawl_delay_ms", delayU($"host"))
+        .withColumn("robots_ok", robotsOkU($"host", $"url"))
+      (wr, Map.empty[String, Int], None, None)
+    } else if (cfg.robotsForm == "join") {
       // SCALE FORM (≳10^7 distinct hosts/round): robots bodies ride a
       // broadcast-joined (host, body) table — "fetched" executor-side — and
       // rules compile lazily per executor with a memoized parse. No
@@ -242,14 +275,18 @@ object CrawlRound {
         .withColumn("crawl_delay_ms", delayU($"robots_body"))
         .withColumn("robots_ok", allowedU($"robots_body", $"url"))
         .drop("robots_body")
-      val hot: Map[String, Int] = traced("hot-hosts")(
-        due.groupBy($"host").count()
-          .filter($"count" > cfg.hotHostThreshold)
-          .select($"host").as[String].collect()
-          .map(h => h -> cfg.saltBuckets).toMap)
+      // saltAllHosts makes hot-host DETECTION moot (everything is salted),
+      // so the counts job is skipped — one less pre-fetch barrier
+      val hot: Map[String, Int] =
+        if (cfg.saltAllHosts) Map.empty
+        else traced("hot-hosts")(
+          due.groupBy($"host").count()
+            .filter($"count" > cfg.hotHostThreshold)
+            .select($"host").as[String].collect()
+            .map(h => h -> cfg.saltBuckets).toMap)
       (wr, hot, None, Some(robotsDf))
     } else {
-      // MAP FORM (default, the Mercator robots cache): one job serves two
+      // MAP FORM (the driver-resident Mercator robots cache): one job serves two
       // driver maps — distinct due hosts (rules, compiled driver-side and
       // broadcast) and per-host due counts (hot-host detection).
       val dueHostCounts: Map[String, Long] =
@@ -298,20 +335,35 @@ object CrawlRound {
     // only salt MORE hosts than allowed-counts would — salting is
     // semantics-neutral by the phase-1 keep-proof below, and the
     // salted==unsalted equivalence test pins that)
-    val (phase1Kept, phase1Dropped) =
-      if (hotHosts.isEmpty) (allowed, allowed.limit(0))
+    val (phase1Kept, phase1Dropped, phase1CacheOpt) =
+      if (!cfg.saltAllHosts && hotHosts.isEmpty)
+        (allowed, allowed.limit(0), None)
       else {
-        val hot = spark.sparkContext.broadcast(hotHosts)
-        val saltOf = udf { (host: String, h: Long) =>
-          hot.value.get(host).map(b => math.floorMod(h, b.toLong).toInt).getOrElse(0)
-        }
-        val salted = allowed.withColumn("salt", saltOf($"host", $"url_hash"))
+        // saltAllHosts (default): salt is a codegen pmod column — no UDF, no
+        // broadcast map — and pmod(h, B) == floorMod(h, B) for the same B,
+        // so the buckets match what hot-host detection would have produced.
+        // The keep-proof below makes salting semantics-neutral for EVERY
+        // host (cold hosts simply never overflow a bucket's top-budget), so
+        // salting unconditionally trades a per-host counts barrier for zero
+        // output change.
+        val saltCol =
+          if (cfg.saltAllHosts)
+            pmod($"url_hash", lit(cfg.saltBuckets.toLong)).cast("int")
+          else {
+            val hot = spark.sparkContext.broadcast(hotHosts)
+            val saltOf = udf { (host: String, h: Long) =>
+              hot.value.get(host).map(b => math.floorMod(h, b.toLong).toInt).getOrElse(0)
+            }
+            saltOf($"host", $"url_hash")
+          }
+        val salted = allowed.withColumn("salt", saltCol)
         val w1 = Window.partitionBy($"host", $"salt").orderBy(ord: _*)
         val ranked = salted.withColumn("srank", row_number().over(w1)).persist()
         // any row in a host's true top-budget is in its salt bucket's local
         // top-budget, so phase 1 never drops a row phase 2 would keep
         (ranked.filter($"srank" <= cfg.hostBudget).drop("salt", "srank"),
-          ranked.filter($"srank" > cfg.hostBudget).drop("salt", "srank"))
+          ranked.filter($"srank" > cfg.hostBudget).drop("salt", "srank"),
+          Some(ranked))
       }
     val w2 = Window.partitionBy($"host").orderBy(ord: _*)
     val hostRanked = phase1Kept.withColumn("host_rank", row_number().over(w2)).persist()
@@ -744,6 +796,7 @@ object CrawlRound {
     pending.commit(manifestJson(metrics, cfg))
 
     robotsCacheOpt.foreach(_.unpersist(blocking = false))
+    phase1CacheOpt.foreach(_.unpersist(blocking = false))
     Seq(withRobots, hostRanked, seqParent.toDF(), deferred.toDF(),
       fetched.toDF(), cand, trulyNew, nextFrontier.toDF(), frontier.toDF())
       .foreach(_.unpersist(blocking = false))

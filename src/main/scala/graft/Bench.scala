@@ -336,6 +336,14 @@ object Bench {
     val attemptWallsLo = runs.map(r => f"${r.sLo}%.2f").mkString("[", ",", "]")
     val attemptWallsHi = runs.map(r => f"${r.sHi}%.2f").mkString("[", ",", "]")
     val pairing = if (crossPair) "best_rounds_cross_attempt" else "within_attempt"
+    // sanity marker on the cross-pair estimate: the engine cannot out-scale
+    // the machine, so a cross-pair efficiency clearly above every attempt's
+    // same-window ceiling means the LO minimum itself was still collapsed
+    // (host memory-reclaim throttling hits the long lo rounds hardest — see
+    // BENCH.md) and the estimate is optimistic, not a clean measurement.
+    // Disclosed, never silently reported as healthy.
+    val crossPairSuspect =
+      crossPair && runs.nonEmpty && eff > runs.map(_.ceil).max + 0.1
     val selection =
       if (healthy.nonEmpty) "median_of_healthy"
       else if (plausible.nonEmpty) "median_of_plausible"
@@ -379,6 +387,7 @@ object Bench {
       f""""scaling_efficiency":$eff%.3f,"attempt_efficiencies":$attemptEffs,""" +
       f""""attempt_ceilings":$attemptCeils,"attempt_walls_lo":$attemptWallsLo,""" +
       f""""attempt_walls_hi":$attemptWallsHi,"pairing":"$pairing",""" +
+      f""""cross_pair_exceeds_ceiling":$crossPairSuspect,""" +
       f""""selection":"$selection","best_healthy_efficiency":$bestHealthyStr,""" +
       f""""reference_wall_lo":$bankedLo%.2f,"reference_wall_hi":$bankedHi%.2f,""" +
       f""""reference_efficiency":$refEff%.3f,""" +

@@ -361,7 +361,13 @@ object Bench {
     // monotone improvement of the reference)
     val bankedLo = math.min(refLo.getOrElse(Double.MaxValue), minLo)
     val bankedHi = math.min(refHi.getOrElse(Double.MaxValue), minHi)
-    val banked = refWalls ++ Map(refKeyLo -> bankedLo, refKeyHi -> bankedHi)
+    // min-merge entry by entry: when both levels share a key (a same-cores
+    // wall-hunt run, CPUS_LO == CPUS_HI), a plain map union would let the
+    // later entry overwrite a better minimum from the other position
+    val banked = Seq(refKeyLo -> bankedLo, refKeyHi -> bankedHi)
+      .foldLeft(refWalls) { case (m, (k, v)) =>
+        m.updated(k, math.min(m.getOrElse(k, Double.MaxValue), v))
+      }
     java.nio.file.Files.createDirectories(refPath.getParent)
     java.nio.file.Files.writeString(refPath,
       banked.toSeq.sortBy(_._1)

@@ -732,7 +732,7 @@ object CrawlRound {
       pending.writeBloom(prevBloom)
     }
 
-    {
+    val (nNewF, nCandF) = {
       val outputs = earlyOutputs ++ Seq(
         fut((traced("write-frontier")(
           if (deltaMode) {
@@ -760,26 +760,40 @@ object CrawlRound {
               .repartition(math.max(shufflePartitions, 1), $"url_hash_hi")
               .write.parquet(pending.seenFullPath)))))
         else Nil)
+      // The two manifest counts launch WITH the write jobs instead of after
+      // them: FIFO queues their single-stage cached scans behind the write
+      // tasks, so they complete inside the write wall instead of adding a
+      // measured ~0.7–1 s serial tail AFTER it — a constant slice at every
+      // core count. Unlike an Observation (see n_new's history above), a
+      // count is exact no matter which concurrent job materializes the
+      // cache first: whichever task computes a partition does so once under
+      // the block lock, and every later reader sees the cached rows.
+      val nNewFut = Future(scala.concurrent.blocking(
+        traced("n-new")(trulyNew.count())))
+      val nCandFut = Future(scala.concurrent.blocking(
+        traced("link-candidates")(cand.count())))
+      launched.synchronized {
+        launched += nNewFut.map(_ => ())
+        launched += nCandFut.map(_ => ())
+      }
       Await.result(Future.sequence(outputs), Duration.Inf)
+      (nNewFut, nCandFut)
     }
 
     // The gate observation is sound because EXACTLY ONE job materializes the
     // withRobots cache (the synchronous politeness/sequence pass, which
     // completes before any other consumer runs) — unlike trulyNew, whose
-    // cache is raced by three concurrent writers, so its count comes from
-    // the populated cache below instead (cheap: cached scan, off the
-    // critical path — the writes are already done).
+    // cache is raced by three concurrent writers, so its count comes from a
+    // plain count job launched alongside the writes (exact regardless of
+    // which job materializes the cache — see the staging block).
     val gateRow = gateObs.get
     val nDue = gateRow("n_due").asInstanceOf[Long]
     val nAllowed = gateRow("n_allowed").asInstanceOf[Long]
     val robotsDenied = nDue - nAllowed
-    // the two cached counts are independent jobs — run them concurrently
-    // (each is a ~0.1-0.3 s cache scan, but serial job-launch latency added
-    // a measured ~0.5 s tail to every round)
-    val nNewF = Future(scala.concurrent.blocking(
-      traced("n-new")(trulyNew.count())))
-    val nCand = traced("link-candidates")(cand.count())
+    // counts were launched alongside the write jobs (see the staging block)
+    // and are usually already complete by the time the writes drain
     val nNew = Await.result(nNewF, Duration.Inf)
+    val nCand = Await.result(nCandF, Duration.Inf)
 
     // deferred / frontier / seen sizes follow arithmetically — no extra jobs:
     // next_frontier = prev − due + deferred + new, deferred = allowed − gated

@@ -63,6 +63,92 @@ object Bench {
     java.nio.file.Files.deleteIfExists(p)
   }
 
+  /** Remove prepared stores whose -n<seeds> suffix differs from this run's:
+    * a killed run with a different SPARK_GRAFT_BENCH_URLS leaves a multi-GB
+    * store in /dev/shm (RAM) indefinitely — on the same shared host whose
+    * memory-reclaim pathology the bench exists to guard against. */
+  private def sweepStaleStores(benchUrls: Long): Unit = {
+    val root = java.nio.file.Paths.get(ShmRoot)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val s = java.nio.file.Files.list(root)
+      try s.forEach { p =>
+        val nm = p.getFileName.toString
+        if (nm.startsWith("store-c") && !nm.endsWith(s"-n$benchUrls")) rmTree(p)
+      } finally s.close()
+    }
+  }
+
+  private val RefWallsPath = java.nio.file.Paths.get("bench_runs/reference_walls.json")
+
+  private def readWalls(): Map[String, Double] =
+    if (!java.nio.file.Files.exists(RefWallsPath)) Map.empty
+    else """"([^"]+)"\s*:\s*([0-9][0-9.]*)""".r
+      .findAllMatchIn(java.nio.file.Files.readString(RefWallsPath))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  /** Min-merge observed walls into the cross-run reference file, entry by
+    * entry (a starved host only ever INFLATES walls, so banking the minimum
+    * is a monotone improvement; entry-wise merge keeps a same-cores hunt —
+    * both levels sharing one key — from overwriting a better minimum). */
+  private def bankWalls(observed: Seq[(String, Double)]): Map[String, Double] = {
+    val banked = observed.foldLeft(readWalls()) { case (m, (k, v)) =>
+      m.updated(k, math.min(m.getOrElse(k, Double.MaxValue), v))
+    }
+    java.nio.file.Files.createDirectories(RefWallsPath.getParent)
+    java.nio.file.Files.writeString(RefWallsPath,
+      banked.toSeq.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.2f""" }
+        .mkString("{", ",", "}\n"))
+    banked
+  }
+
+  /** SPARK_GRAFT_BENCH_WALL_HUNT=<pairs>: skip the judged protocol and run
+    * <pairs> alternating (lo, hi) timed rounds purely to SHARPEN the
+    * cross-run reference walls — the walls only tighten when someone
+    * observes a faster healthy round, and before this mode that took manual
+    * CPUS_LO=CPUS_HI sessions. Banking min-merges after EVERY round, so a
+    * killed hunt still keeps what it observed. Prints one JSON line with
+    * each round's wall, the final banked walls, and the efficiency the
+    * banked minima imply at the judged (cores, size). */
+  private def wallHuntMain(pairs: Int): Unit = {
+    val nLo = sys.env.getOrElse("SPARK_GRAFT_BENCH_CPUS_LO", "4").toInt
+    val nHi = sys.env.getOrElse("SPARK_GRAFT_BENCH_CPUS_HI", "16").toInt
+    val benchUrls = sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "150000").toLong
+    sweepStaleStores(benchUrls)
+    val keyLo = s"c$nLo-n$benchUrls"
+    val keyHi = s"c$nHi-n$benchUrls"
+    var done = 0L
+    val wallsLo = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val wallsHi = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (0 until pairs).foreach { _ =>
+      val (dl, sl) = crawlRound(nLo, benchUrls)
+      wallsLo += sl; done = dl
+      bankWalls(Seq(keyLo -> sl))
+      val (dh, sh) = crawlRound(nHi, benchUrls)
+      wallsHi += sh; done = dh
+      bankWalls(Seq(keyHi -> sh))
+    }
+    Seq(nLo, nHi).distinct.foreach(c =>
+      rmTree(java.nio.file.Paths.get(s"$ShmRoot/store-c$c-n$benchUrls")))
+    val walls = readWalls()
+    // done counts are deterministic per input (the crawl is core-count-
+    // independent), so one count serves both levels of the implied ratio
+    val refEff = (for {
+      wl <- walls.get(keyLo); wh <- walls.get(keyHi) if nLo != nHi
+    } yield f"${((done / wh) / (done / wl)) * (nLo.toDouble / nHi)}%.3f")
+      .getOrElse("null")
+    val fmt = (xs: Seq[Double]) => xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    val line = f"""{"metric":"wall_hunt","bench_urls":$benchUrls,""" +
+      f""""cpus_lo":$nLo,"cpus_hi":$nHi,"pairs":$pairs,""" +
+      f""""walls_lo":${fmt(wallsLo.toSeq)},"walls_hi":${fmt(wallsHi.toSeq)},""" +
+      f""""banked_wall_lo":${walls.getOrElse(keyLo, -1.0)}%.2f,""" +
+      f""""banked_wall_hi":${walls.getOrElse(keyHi, -1.0)}%.2f,""" +
+      f""""reference_efficiency":$refEff}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
+  }
+
   /** Steady-state crawl throughput at local[cpus]: generate an n-URL
     * frontier, run round 0 untimed (warms the session: codegen compilation,
     * buffer pools — one-time costs a long-running cluster job amortizes),
@@ -132,6 +218,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    sys.env.get("SPARK_GRAFT_BENCH_WALL_HUNT").map(_.toInt) match {
+      case Some(pairs) => wallHuntMain(pairs); return
+      case None => ()
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // Round size matters for the SCALING measurement, not just throughput:
@@ -226,12 +316,7 @@ object Bench {
     // wall, so min-banking is safe); DELETE the file when a code change
     // intentionally alters round cost, else the stale reference flags every
     // honest run as starved (the selection label discloses, never hides).
-    val refPath = java.nio.file.Paths.get("bench_runs/reference_walls.json")
-    val refWalls: Map[String, Double] =
-      if (!java.nio.file.Files.exists(refPath)) Map.empty
-      else """"([^"]+)"\s*:\s*([0-9][0-9.]*)""".r
-        .findAllMatchIn(java.nio.file.Files.readString(refPath))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val refWalls: Map[String, Double] = readWalls()
     val refKeyLo = s"c$nLo-n$benchUrls"
     val refKeyHi = s"c$nHi-n$benchUrls"
     val refLo = refWalls.get(refKeyLo)
@@ -271,6 +356,7 @@ object Bench {
     def looksHealthy(a: Attempt): Boolean =
       a.ceil >= CeilingLo && a.ceil <= CeilingHi && a.eff <= EffHi &&
         !starvedVsRef(a.sLo, a.sHi)
+    sweepStaleStores(benchUrls)
     val crawlT0 = System.nanoTime()
     var i = 0
     while (i < attempts &&
@@ -359,20 +445,9 @@ object Bench {
     // bank this run's fastest walls into the reference file (min-merge: a
     // starved host only ever inflates walls, so the observed minimum is a
     // monotone improvement of the reference)
-    val bankedLo = math.min(refLo.getOrElse(Double.MaxValue), minLo)
-    val bankedHi = math.min(refHi.getOrElse(Double.MaxValue), minHi)
-    // min-merge entry by entry: when both levels share a key (a same-cores
-    // wall-hunt run, CPUS_LO == CPUS_HI), a plain map union would let the
-    // later entry overwrite a better minimum from the other position
-    val banked = Seq(refKeyLo -> bankedLo, refKeyHi -> bankedHi)
-      .foldLeft(refWalls) { case (m, (k, v)) =>
-        m.updated(k, math.min(m.getOrElse(k, Double.MaxValue), v))
-      }
-    java.nio.file.Files.createDirectories(refPath.getParent)
-    java.nio.file.Files.writeString(refPath,
-      banked.toSeq.sortBy(_._1)
-        .map { case (k, v) => f""""$k":$v%.2f""" }
-        .mkString("{", ",", "}\n"))
+    val banked = bankWalls(Seq(refKeyLo -> minLo, refKeyHi -> minHi))
+    val bankedLo = banked(refKeyLo)
+    val bankedHi = banked(refKeyHi)
     // the efficiency the banked best-known walls imply (done counts are
     // deterministic per level+input, so any attempt's counts apply): the
     // cross-run best-window estimate, disclosed alongside — never AS — the

@@ -29,13 +29,37 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** FIXED per-query scratch path under java.io.tmpdir, wiped before reuse:
+    * queries that write side outputs (corpus build, shard export) used to
+    * `createTempDirectory` per invocation and never delete it, so every
+    * `graft.Verify` / bench loop accumulated another /tmp shard tree.
+    * A fixed path makes repeated runs overwrite-in-place — /tmp stays flat.
+    * (Queries run serially per JVM — Verify's loop, the driver — so the
+    * fixed name cannot race itself.) */
+  private def scratchDir(name: String): String = synchronized {
+    val p = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-scratch", name)
+    def rm(q: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(q)) {
+        val s = java.nio.file.Files.list(q)
+        try s.forEach(rm) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(q)
+    }
+    rm(p)
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+
   // --- shared mini-crawl fixture (memoized per JVM) --------------------------
   private val crawlCfg = CrawlConfig(roundCap = 300)
   private val CrawlRounds = 3
   @volatile private var crawlDir: Option[String] = None
   private def crawlStore(spark: SparkSession): SnapshotStore = synchronized {
     val d = crawlDir.getOrElse {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-entry-crawl").toString
+      // fixed path (wiped at first use per JVM): the memoized store leaked
+      // one temp tree per JVM invocation across verify/bench runs
+      val tmp = scratchDir("entry-crawl")
       crawlDir = Some(tmp); tmp
     }
     val st = new SnapshotStore(spark, d)
@@ -122,7 +146,7 @@ object SparkEntry {
     "crawl_corpus_manifest" -> ((s, _) => {
       val st = crawlStore(s)
       val pages = st.loadAllPages(st.head.getOrElse(0))
-      val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+      val out = scratchDir("corpus")
       val (manifest, _) = operators.CorpusPipeline.run(pages, out,
         operators.CorpusPipeline.Config(minTokens = 5, minQuality = 0.0,
           nShards = 4))
@@ -413,7 +437,7 @@ object SparkEntry {
     // runs and partitionings). Rows-only driver check: Spark's xxhash64 is
     // not ANSI-expressible, so there is no DuckDB oracle.
     "q_export_manifest" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+      val out = scratchDir("export")
       Curation.exportShards(t(s, d, "documents"), out, nShards = 8)
         .orderBy(col("shard"))
     }),
@@ -429,7 +453,7 @@ object SparkEntry {
     "crawl_corpus_report" -> ((s, _) => {
       val st = crawlStore(s)
       val pages = st.loadAllPages(st.head.getOrElse(0))
-      val out = java.nio.file.Files.createTempDirectory("graft-corpus-rpt").toString
+      val out = scratchDir("corpus-rpt")
       val (_, r) = operators.CorpusPipeline.run(pages, out,
         operators.CorpusPipeline.Config(minTokens = 5, minQuality = 0.0,
           nShards = 4))

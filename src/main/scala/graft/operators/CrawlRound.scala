@@ -51,13 +51,13 @@ object CrawlRound {
     * run with no driver robots structure and no dedicated robots job. Rules
     * are a pure function of host, so cross-executor duplication is only
     * memory, never divergence; the size cap bounds a long-lived executor
-    * crawling an unbounded host set. */
+    * crawling an unbounded host set (segment eviction, not clear-all — see
+    * BoundedMemoCache: a >2^20-host executor degrades smoothly instead of
+    * re-parsing its whole working set after each overflow). */
   private val hostRulesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Robots.Rules]()
-  private def hostRules(h: String): Robots.Rules = {
-    if (hostRulesCache.size > (1 << 20)) hostRulesCache.clear()
-    hostRulesCache.computeIfAbsent(h, host => SyntheticWeb.robotsFor(host))
-  }
+    new graft.core.BoundedMemoCache[String, Robots.Rules](1 << 20)
+  private def hostRules(h: String): Robots.Rules =
+    hostRulesCache.getOrCompute(h)(host => SyntheticWeb.robotsFor(host))
 
   /** xxh64 of a url, computed executor-side — the URL-seen filter key. */
   private val xxh64OfUrl = udf((u: String) => Hashes.xxh64(u))

@@ -64,12 +64,17 @@ object Dedup {
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
+      // dedup the pair BEFORE scoring: a near-dup pair shares several bands,
+      // and scoring each occurrence then `.distinct()`-ing the scores paid
+      // one SigAgree evaluation per shared band. The signatures are a pure
+      // function of the doc ids, so any surviving (sig_a, sig_b) is THE
+      // value — dropDuplicates picks an arbitrary row, never a different one
+      .dropDuplicates("doc_a", "doc_b")
       // codegen'd signature-agreement expression — no array-arg UDF
       // conversion on the candidate hot path
       .select(col("doc_a"), col("doc_b"),
         org.apache.spark.sql.graftexpr.SigAgree(col("sig_a"), col("sig_b"))
           .as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -99,10 +104,12 @@ object Dedup {
       col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("is_new").as("new_b"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b") && (col("new_a") || col("new_b")))
+      // same dedup-before-score as minHashPairs: one SigAgree per pair, not
+      // one per shared band (sig columns are pure functions of the doc ids)
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
         org.apache.spark.sql.graftexpr.SigAgree(col("sig_a"), col("sig_b"))
           .as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
 

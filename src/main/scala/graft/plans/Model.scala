@@ -197,7 +197,16 @@ object Model {
       // before the merge-on-read chain gets expensive. Decided from
       // manifests — zero extra jobs. Identical crawl output either way
       // (layout never affects semantics; equivalence-tested).
-      compactFrontierChurnRatio: Double = 0.0)
+      compactFrontierChurnRatio: Double = 0.0) {
+    // fail-loudly contract (CrawlMain scaladoc): a typo'd enum value must
+    // never silently select a default code path — the forms are output-
+    // equivalent, so a silent fallback would run (and measure) a different
+    // implementation than the one the caller asked for
+    require(Set("fused", "map", "join").contains(robotsForm),
+      s"robotsForm must be one of fused|map|join, got '$robotsForm'")
+    require(Set("bloom", "cuckoo").contains(filterKind),
+      s"filterKind must be one of bloom|cuckoo, got '$filterKind'")
+  }
 
   /** round_ts(k) — rounds tick on a fixed cadence so deferred entries
     * (next_fetch_ts = round_ts + budget*delay) come due by the next round. */

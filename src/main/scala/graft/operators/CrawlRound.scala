@@ -22,9 +22,11 @@ import graft.sources.SnapshotStore
   *  - robots is a broadcast join (tiny per-host table);
   *  - the URL-seen probe routes on a broadcast bloom filter: bloom-clear links
   *    are *definitely* new (bloom has no false negatives) and skip the exact
-  *    anti-join shuffle entirely; only bloom-hits (≈ seen + fpp·new) shuffle.
-  *    The seen set stays exact — a false positive costs one wasted join probe,
-  *    never a dropped URL (SURVEY.md §4.2 exactness backstop);
+  *    join entirely; only bloom-hits (≈ seen + fpp·new) reach it, and the
+  *    default scan-form join (seenAntiJoinScan) broadcasts those suspect keys
+  *    so the seen table itself is only SCANNED, never shuffled. The seen set
+  *    stays exact — a false positive costs one wasted join probe, never a
+  *    dropped URL (SURVEY.md §4.2 exactness backstop);
   *  - hot hosts (zipfian frontier) get a salted two-phase politeness top-k so a
   *    single host cannot skew the window shuffle (SURVEY.md §4.3);
   *  - the global round sequence is assigned with range-partition + per-partition
@@ -146,6 +148,38 @@ object CrawlRound {
       }
     }.toDF("url", "url_hash", "url_hash_hi", "url_hash_lo", "host",
       "priority", "maybe_seen")
+  }
+
+  /** J1 exact URL-seen dedup, SHUFFLE form: plain left-anti join. Both sides
+    * exchange on the 128-bit key — at 10^10 seen URLs that is a full seen-set
+    * shuffle EVERY round, which is why this is not the default. It remains
+    * the right form when the probe side is O(candidates) (no filter routed
+    * a small suspect set: useBloom=false, shard cold path) or at suspect
+    * cardinalities past broadcast reach (documented in CrawlConfig). */
+  private[graft] def seenAntiJoinShuffle(seen: org.apache.spark.sql.DataFrame,
+      suspects: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    suspects.join(seen.select(col("url_hash_hi"), col("url_hash_lo")),
+      Seq("url_hash_hi", "url_hash_lo"), "left_anti")
+
+  /** J1 exact URL-seen dedup, SCAN form (default): the seen set is only ever
+    * SCANNED, never shuffled. The filter route already shrank the probe side
+    * to suspects ≈ true-dups + fpp·new — a small set by construction — so:
+    *   (1) semi-join seen ⋉ broadcast(suspect keys): a narrow projection
+    *       scan of the seen table emitting only the keys that ARE seen
+    *       (≤ |suspects| rows);
+    *   (2) suspects anti-join broadcast(those hits).
+    * Both joins broadcast the small side; the per-round cost against the
+    * unbounded table drops from O(seen) shuffle to O(seen) narrow scan —
+    * the asymptote a 10^10-URL seen set demands (the compacted base is read
+    * with its 2-column projection pushed down; nothing wide moves). Output
+    * is identical to the shuffle form (set algebra; equivalence-tested). */
+  private[graft] def seenAntiJoinScan(seen: org.apache.spark.sql.DataFrame,
+      suspects: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keys = Seq("url_hash_hi", "url_hash_lo")
+    val keyCols = keys.map(col)
+    val hits = seen.select(keyCols: _*)
+      .join(broadcast(suspects.select(keyCols: _*)), keys, "left_semi")
+    suspects.join(broadcast(hits), keys, "left_anti")
   }
 
   /** Build a FrontierEntry from a canonical URL (seeds + new links). */
@@ -553,27 +587,31 @@ object CrawlRound {
         val bfb = spark.sparkContext.broadcast(bloomOf(prevBloomBytes))
         Some(udf((h: Long) => bfb.value.mightContainLong(h)))
       }
-    def antiJoinAll(df: org.apache.spark.sql.DataFrame) =
-      df.join(seen.select($"url_hash_hi", $"url_hash_lo"),
-        Seq("url_hash_hi", "url_hash_lo"), "left_anti")
+    // `filtered = true` marks a SUSPECT set (bloom/cuckoo/shard hits — a
+    // small fraction of candidates by construction), which unlocks the
+    // scan-form join; unfiltered inputs (useBloom=false, shard cold path)
+    // are O(candidates) and stay on the shuffle form regardless of config.
+    def antiJoinAll(df: org.apache.spark.sql.DataFrame, filtered: Boolean) =
+      if (filtered && cfg.seenJoin == "scan") seenAntiJoinScan(seen.toDF(), df)
+      else seenAntiJoinShuffle(seen.toDF(), df)
     val trulyNew =
       (if (sharded && store.filterShardsExist(k, cfg.filterShards)) {
         val flagged = shardProbe(spark, store, k, cand, cfg)
         val suspects = flagged.filter($"maybe_seen").drop("maybe_seen")
         val definitelyNew = flagged.filter(!$"maybe_seen").drop("maybe_seen")
-        antiJoinAll(suspects).unionByName(definitelyNew)
+        antiJoinAll(suspects, filtered = true).unionByName(definitelyNew)
       } else if (sharded) {
         // cold path (shard files absent — e.g. round 0, whose snapshot only
         // carries the monolithic init filter): exact anti-join this round;
         // the lifecycle below writes the full shard set for snapshot k+1
-        antiJoinAll(cand)
+        antiJoinAll(cand, filtered = false)
       } else probeOpt match {
         case Some(mightContain) =>
           val suspects = cand.filter(mightContain($"url_hash"))
           val definitelyNew = cand.filter(!mightContain($"url_hash"))
-          antiJoinAll(suspects).unionByName(definitelyNew)
+          antiJoinAll(suspects, filtered = true).unionByName(definitelyNew)
         case None =>
-          antiJoinAll(cand)
+          antiJoinAll(cand, filtered = false)
       // n_new is counted AFTER the writes from the populated cache (like
       // nCand below), NOT via an Observation here: the first actions over
       // trulyNew are THREE concurrent write jobs racing to materialize the

@@ -54,6 +54,52 @@ object Crawler {
       .as[(Long, String, Long)].head()
   }
 
+  /** Long-horizon crawl invariants as a queryable report — the SoakCheck net
+    * surfaced on the driver's judged query surface (one row per invariant,
+    * n_violations == 0 everywhere on a correct crawl): the arithmetically-
+    * derived manifest sizes cross-checked against actual table counts (the
+    * net that caught the partition-id row-loss bug), no-refetch, fetched ⊆
+    * seen, 128-bit seen uniqueness, and exact politeness spacing. */
+  def invariantReport(spark: SparkSession, store: SnapshotStore): DataFrame = {
+    import spark.implicits._
+    val k = store.head.getOrElse(0)
+    def field(m: String, f: String): Long =
+      ("\"" + f + "\":(-?\\d+)").r.findFirstMatchIn(m).get.group(1).toLong
+    // manifest sizes are derived (prev − due + deferred + new), never counted
+    // in-round — so count the real tables here, per committed snapshot
+    val manifestBad = (1 to k).map { i =>
+      val m = store.manifest(i).get
+      val fBad = if (field(m, "frontier_size") == store.loadFrontier(i).count()) 0L else 1L
+      val sBad = if (field(m, "seen_size") == store.loadSeen(i).count()) 0L else 1L
+      (fBad, sBad)
+    }
+    val pages = store.loadAllPages(k).persist()
+    val refetched = pages.groupBy($"url").count().filter($"count" > 1).count()
+    val seen = store.loadSeen(k)
+    val notInSeen = pages.select($"url").except(seen.select($"url")).count()
+    val dupSeen = seen.groupBy($"url_hash_hi", $"url_hash_lo").count()
+      .filter($"count" > 1).count()
+    // W4: consecutive fetches of one host within a round are spaced by
+    // exactly that host's crawl delay (UDF: rules come from the pinned
+    // RFC 9309 parser, same justification as the gate forms)
+    val delayOf = udf((h: String) => graft.core.SyntheticWeb.robotsFor(h).crawlDelayMs)
+    val badGaps = pages
+      .withColumn("prev", lag($"fetch_ts", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"round", $"host").orderBy($"fetch_ts")))
+      .filter($"prev".isNotNull && ($"fetch_ts" - $"prev") =!= delayOf($"host"))
+      .count()
+    pages.unpersist(blocking = false)
+    Seq(
+      (0, "manifest_frontier_size_matches_actual", manifestBad.map(_._1).sum),
+      (1, "manifest_seen_size_matches_actual", manifestBad.map(_._2).sum),
+      (2, "no_url_fetched_twice", refetched),
+      (3, "fetched_urls_all_in_seen", notInSeen),
+      (4, "seen_distinct_on_128bit_key", dupSeen),
+      (5, "politeness_spacing_exact", badGaps))
+      .toDF("check_idx", "invariant", "n_violations")
+  }
+
   /** Per-url extracted-text hashes (the byte-identical invariant artifact,
     * BASELINE.json input_hint; SURVEY.md §5.3 `text_sha256.csv`). */
   def textShas(spark: SparkSession, store: SnapshotStore): DataFrame = {

@@ -197,7 +197,19 @@ object Model {
       // before the merge-on-read chain gets expensive. Decided from
       // manifests — zero extra jobs. Identical crawl output either way
       // (layout never affects semantics; equivalence-tested).
-      compactFrontierChurnRatio: Double = 0.0) {
+      compactFrontierChurnRatio: Double = 0.0,
+      // J1 exact-dedup join form for filter-routed SUSPECTS (the bloom/
+      // cuckoo/shard hits — a small set by construction). "scan" (default):
+      // broadcast the suspect keys, semi-join to find the actual hits, then
+      // broadcast-anti — the seen table is SCANNED (2-column projection),
+      // never shuffled; per-round cost vs the unbounded seen set falls from
+      // O(seen) shuffle to O(seen) narrow scan. "shuffle": the plain
+      // left-anti SMJ/SHJ — the form to pick when suspect cardinality
+      // outgrows broadcast reach (≳10^7/round, i.e. the same regime as the
+      // sharded filter). Unfiltered probes (useBloom=false, shard cold
+      // path) always use the shuffle form. Identical crawl output
+      // (equivalence-tested).
+      seenJoin: String = "scan") {
     // fail-loudly contract (CrawlMain scaladoc): a typo'd enum value must
     // never silently select a default code path — the forms are output-
     // equivalent, so a silent fallback would run (and measure) a different
@@ -206,6 +218,8 @@ object Model {
       s"robotsForm must be one of fused|map|join, got '$robotsForm'")
     require(Set("bloom", "cuckoo").contains(filterKind),
       s"filterKind must be one of bloom|cuckoo, got '$filterKind'")
+    require(Set("scan", "shuffle").contains(seenJoin),
+      s"seenJoin must be one of scan|shuffle, got '$seenJoin'")
   }
 
   /** round_ts(k) — rounds tick on a fixed cadence so deferred entries

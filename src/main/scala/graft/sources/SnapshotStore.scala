@@ -17,9 +17,14 @@ import graft.plans.Model._
   *   2. a `manifest.json` (row counts, metrics, pinned config) is written last
   *      inside the tmp dir;
   *   3. the tmp dir is renamed to `<root>/snapshot-k` (atomic on a local/posix
-  *      fs; on an object store this step would be an Iceberg/metastore commit —
-  *      the trait boundary to swap is exactly this class);
+  *      fs; on an object store this step would be an Iceberg/metastore commit);
   *   4. `HEAD` is replaced via write-tmp + ATOMIC_MOVE.
+  *
+  * Steps 3–4 are the visibility seam, named as [[CommitProtocol]]: this class
+  * delegates them to `protocol` (default [[PosixRenameCommit]]). The
+  * object-store variant — immutable data prefix + PUT-if-absent manifest
+  * pointer + HEAD CAS — is specified in the CommitProtocol scaladoc; swapping
+  * it in changes no crawl code.
   *
   * A crash between any two steps leaves either the old HEAD (tmp dir invisible
   * to readers — resume re-runs the round deterministically) or the new HEAD
@@ -35,7 +40,8 @@ import graft.plans.Model._
   *   bloom.bin    — cumulative URL-seen BloomFilter over url_hash (A3)
   *   manifest.json
   */
-final class SnapshotStore(spark: SparkSession, val root: String) {
+final class SnapshotStore(spark: SparkSession, val root: String,
+    protocol: CommitProtocol = PosixRenameCommit) {
   import spark.implicits._
 
   private def snapDir(k: Int): Path = Paths.get(root, s"snapshot-$k")
@@ -236,13 +242,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       * (no wall-clock fields) so identical runs byte-compare (SURVEY.md §5.4). */
     def commit(manifestJson: String): Unit = {
       Files.writeString(dir.resolve("manifest.json"), manifestJson)
-      val target = snapDir(k)
-      if (Files.exists(target)) deleteRecursively(target) // re-run of uncommitted round
-      Files.move(dir, target, StandardCopyOption.ATOMIC_MOVE)
-      val headTmp = Paths.get(root, ".HEAD.tmp")
-      Files.writeString(headTmp, k.toString)
-      Files.move(headTmp, headPath, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      protocol.publish(Paths.get(root), dir, k)
     }
 
     def abort(): Unit = if (Files.exists(dir)) deleteRecursively(dir)

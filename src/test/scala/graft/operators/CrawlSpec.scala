@@ -230,6 +230,25 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("seen-join forms: scan (default) and shuffle produce the identical crawl") {
+    // the shared golden `store` runs the default scan form; the shuffle form
+    // (plain left-anti) must yield the same crawl bit-for-bit — the join
+    // form is a physical choice, never a semantic one. Exact-only
+    // (useBloom=false) exercises the unfiltered path, which always takes
+    // the shuffle form regardless of config.
+    val sSh = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-seenshuffle"))
+    Crawler.run(spark, sSh, seeds, Rounds, cfg.copy(seenJoin = "shuffle"))
+    val sEx = new SnapshotStore(spark, SparkTestSession.tempDir("crawl-seenexact"))
+    Crawler.run(spark, sEx, seeds, Rounds, cfg.copy(useBloom = false))
+    val oF = Crawler.ordering(spark, store).as[(Int, Long, String)].collect().toSeq
+    for (s <- Seq(sSh, sEx)) {
+      assert(Crawler.seenDigest(spark, s) === Crawler.seenDigest(spark, store))
+      val o = Crawler.ordering(spark, s).as[(Int, Long, String)].collect().toSeq
+      assert(o === oF)
+      (0 to Rounds).foreach(k => assert(s.manifest(k) === store.manifest(k)))
+    }
+  }
+
   test("salting: salt-all (default), hot-threshold, and unsalted gates are identical") {
     // keep-proof in practice, all three policies: every host salted via the
     // codegen pmod column (default), only threshold-hot hosts salted via the

@@ -24,4 +24,9 @@ class ModelSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](CrawlConfig(filterKind = "blom"))
     assert(e.getMessage.contains("blom"))
   }
+
+  test("a typo'd seenJoin throws instead of falling back to a default") {
+    val e = intercept[IllegalArgumentException](CrawlConfig(seenJoin = "scam"))
+    assert(e.getMessage.contains("scam"))
+  }
 }

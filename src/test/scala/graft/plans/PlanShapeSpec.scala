@@ -152,4 +152,26 @@ class PlanShapeSpec extends AnyFunSuite {
     // the broadcast join pipelined, without a corpus-wide repartition
     assert(!physical.contains("SortMergeJoin"), physical)
   }
+
+  test("crawl seen-dedup scan form: the seen table is scanned, never shuffled") {
+    import spark.implicits._
+    val seen = (0L until 1000L).map(i => (i, i + 1, s"u$i", 0))
+      .toDF("url_hash_hi", "url_hash_lo", "url", "first_seen_round")
+    val suspects = (500L until 1500L).map(i => (i, i + 1, s"http://u$i", 1))
+      .toDF("url_hash_hi", "url_hash_lo", "url", "priority")
+    val scan = graft.operators.CrawlRound.seenAntiJoinScan(seen, suspects)
+    val physical = scan.queryExecution.executedPlan.toString
+    // both joins broadcast the small side; the seen side carries NO exchange
+    // and NO sort — the per-round cost against the unbounded seen set is one
+    // narrow scan, the 10^10-URL asymptote the crawl claims
+    assert(physical.contains("BroadcastHashJoin"), physical)
+    assert(!physical.contains("SortMergeJoin"), physical)
+    assert(!physical.contains("Exchange hashpartitioning"), physical)
+    // and the form is output-identical to the shuffle form
+    val a = scan.select($"url_hash_hi").as[Long].collect().sorted.toSeq
+    val b = graft.operators.CrawlRound.seenAntiJoinShuffle(seen, suspects)
+      .select($"url_hash_hi").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    assert(a === (1000L until 1500L).toSeq)
+  }
 }

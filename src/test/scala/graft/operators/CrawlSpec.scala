@@ -230,6 +230,13 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("invariant report: six checks, zero violations on the golden crawl") {
+    val rep = Crawler.invariantReport(spark, store).orderBy($"check_idx").collect()
+    assert(rep.length === 6)
+    assert(rep.forall(_.getAs[Long]("n_violations") === 0L),
+      rep.map(r => s"${r.get(1)}=${r.get(2)}").mkString(", "))
+  }
+
   test("seen-join forms: scan (default) and shuffle produce the identical crawl") {
     // the shared golden `store` runs the default scan form; the shuffle form
     // (plain left-anti) must yield the same crawl bit-for-bit — the join

@@ -128,8 +128,14 @@ object Bench {
       wallsHi += sh; done = dh
       bankWalls(Seq(keyHi -> sh))
     }
-    Seq(nLo, nHi).distinct.foreach(c =>
-      rmTree(java.nio.file.Paths.get(s"$ShmRoot/store-c$c-n$benchUrls")))
+    // SPARK_GRAFT_BENCH_KEEP_STORE: leave the prepared stores in /dev/shm so
+    // a back-to-back hunt skips the ~5-min re-preparation — this host's
+    // healthy windows are often shorter than a full hunt, so cheap repeated
+    // single-pair hunts land rounds inside them. Sweep manually (or run once
+    // without the flag) when done.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_KEEP_STORE"))
+      Seq(nLo, nHi).distinct.foreach(c =>
+        rmTree(java.nio.file.Paths.get(s"$ShmRoot/store-c$c-n$benchUrls")))
     val walls = readWalls()
     // done counts are deterministic per input (the crawl is core-count-
     // independent), so one count serves both levels of the implied ratio

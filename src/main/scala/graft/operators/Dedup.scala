@@ -62,20 +62,25 @@ object Dedup {
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = buckets.select(col("band"), col("band_key"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    // Score in the bucket-join projection, then dedup NARROW rows (r06):
+    // est_jaccard is a pure function of the pair (the sig columns are pure
+    // functions of the doc ids), so each shared-band occurrence scores
+    // identically and first() is deterministic. The pair dedup then groups
+    // 24-byte (doc_a, doc_b, est_jaccard) rows in a codegen HashAggregate —
+    // dropDuplicates("doc_a","doc_b") used to carry BOTH 64-long signature
+    // arrays through its exchange into a SortAggregate (~40× the shuffle
+    // bytes, sorts on both sides). The re-added per-shared-band SigAgree
+    // evaluations are map-side, parallel, and bounded by the band count;
+    // the threshold filter runs pre-dedup (duplicates all pass or all
+    // fail), shrinking the aggregate input too. Output identical.
     a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      // dedup the pair BEFORE scoring: a near-dup pair shares several bands,
-      // and scoring each occurrence then `.distinct()`-ing the scores paid
-      // one SigAgree evaluation per shared band. The signatures are a pure
-      // function of the doc ids, so any surviving (sig_a, sig_b) is THE
-      // value — dropDuplicates picks an arbitrary row, never a different one
-      .dropDuplicates("doc_a", "doc_b")
-      // codegen'd signature-agreement expression — no array-arg UDF
-      // conversion on the candidate hot path
       .select(col("doc_a"), col("doc_b"),
         org.apache.spark.sql.graftexpr.SigAgree(col("sig_a"), col("sig_b"))
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** Incremental near-dup: candidate pairs that TOUCH a new batch, against a
@@ -102,15 +107,18 @@ object Dedup {
       col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("is_new").as("new_a"))
     val b = buckets.select(col("band"), col("band_key"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("is_new").as("new_b"))
+    // same score-first narrow pair dedup as minHashPairs (r06): SigAgree in
+    // the join projection (pure function of the pair → duplicates identical),
+    // threshold filter pre-dedup, then a narrow hash aggregate — instead of
+    // a SortAggregate shipping both signature arrays through the exchange
     a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b") && (col("new_a") || col("new_b")))
-      // same dedup-before-score as minHashPairs: one SigAgree per pair, not
-      // one per shared band (sig columns are pure functions of the doc ids)
-      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
         org.apache.spark.sql.graftexpr.SigAgree(col("sig_a"), col("sig_b"))
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** Connected components over a near-dup pair graph → dedup groups:

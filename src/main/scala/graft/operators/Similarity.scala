@@ -118,11 +118,20 @@ object Similarity {
       col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     val raw = cosine(col("emb_a"), col("emb_b"))
     val cos = if (roundTo >= 0) round(raw, roundTo) else raw
+    // Score BEFORE the cross-table pair dedup (r06): cosine is a pure
+    // function of the pair, so duplicate bucket hits score identically and
+    // first() is deterministic. The dedup then groups NARROW
+    // (vec_a, vec_b, cosine) rows — a codegen HashAggregate — where
+    // dropDuplicates carried both embedding arrays through the exchange
+    // into a SortAggregate (~64× the shuffle bytes, sorts on both sides).
+    // The threshold filter runs pre-dedup (duplicates all pass or all
+    // fail), shrinking the aggregate input too. Output identical.
     a.join(b, Seq("table", "sig"))
       .filter(col("vec_a") < col("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
       .withColumn("cosine", cos)
       .filter(col("cosine") >= threshold)
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(first(col("cosine")).as("cosine"))
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
@@ -305,15 +314,29 @@ object Similarity {
     val c = withLshSignatures(corpus, nBits, nTables, dim)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         col("table"), col("sig"))
-    val probes = udf { (sig: Int) => (0 until nBits).map(b => sig ^ (1 << b)) :+ sig }
+    // multi-probe signatures as a codegen array literal (r06): the 1-bit
+    // flips are pure bit arithmetic — the previous Scala UDF paid a per-row
+    // boundary for nothing
+    val probeCols = (0 until nBits).map(b =>
+      col("sig").bitwiseXOR(lit(1 << b))) :+ col("sig")
     val q = withLshSignatures(queries, nBits, nTables, dim)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("table"), explode(probes(col("sig"))).as("sig"))
-    val cand = c.join(broadcast(q), Seq("table", "sig"))
+        col("table"), explode(array(probeCols: _*)).as("sig"))
+    // Score in the bucket-join projection, then dedup the cross-table hits
+    // as a NARROW (query_id, neighbor_id, cosine) hash aggregate (r06):
+    // cosine is a pure function of the pair, so duplicate bucket hits score
+    // identically and first() is deterministic. dropDuplicates used to carry
+    // both embedding arrays through its exchange into a SortAggregate; and
+    // the explicit repartition on query_id alone satisfies BOTH the dedup
+    // clustering and the window partitioning, so the whole tail runs off ONE
+    // exchange (was two). Output identical (tools.QExp lsh_v0/v1).
+    val scored = c.join(broadcast(q), Seq("table", "sig"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
-      .dropDuplicates("query_id", "neighbor_id") // union of all table buckets
-    val scored = cand.withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cosine"))
+      .repartition(col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("cosine")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

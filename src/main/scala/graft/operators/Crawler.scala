@@ -65,38 +65,57 @@ object Crawler {
     val k = store.head.getOrElse(0)
     def field(m: String, f: String): Long =
       ("\"" + f + "\":(-?\\d+)").r.findFirstMatchIn(m).get.group(1).toLong
+    // ONE Spark job for the whole report (r06): every check is a single-row
+    // (check_idx, violations) aggregate branch of one union plan, so the
+    // per-snapshot manifest cross-check — previously TWO driver-side count()
+    // jobs per committed snapshot, O(rounds) serial jobs at a long-horizon
+    // store — now aggregates all snapshots (and the other four invariants)
+    // as concurrently-scheduled stages of a single action. Values unchanged.
+    def check(i: Int, v: org.apache.spark.sql.Column): DataFrame => DataFrame =
+      df => df.select(lit(i).as("check_idx"), v.cast("long").as("v"))
     // manifest sizes are derived (prev − due + deferred + new), never counted
     // in-round — so count the real tables here, per committed snapshot
-    val manifestBad = (1 to k).map { i =>
+    val manifestChecks: Seq[DataFrame] = (1 to k).flatMap { i =>
       val m = store.manifest(i).get
-      val fBad = if (field(m, "frontier_size") == store.loadFrontier(i).count()) 0L else 1L
-      val sBad = if (field(m, "seen_size") == store.loadSeen(i).count()) 0L else 1L
-      (fBad, sBad)
+      val fExp = field(m, "frontier_size")
+      val sExp = field(m, "seen_size")
+      Seq(
+        check(0, when($"n" === fExp, 0L).otherwise(1L))(
+          store.loadFrontier(i).toDF().agg(count(lit(1)).as("n"))),
+        check(1, when($"n" === sExp, 0L).otherwise(1L))(
+          store.loadSeen(i).toDF().agg(count(lit(1)).as("n"))))
     }
-    val pages = store.loadAllPages(k).persist()
-    val refetched = pages.groupBy($"url").count().filter($"count" > 1).count()
+    val pages = store.loadAllPages(k)
     val seen = store.loadSeen(k)
-    val notInSeen = pages.select($"url").except(seen.select($"url")).count()
-    val dupSeen = seen.groupBy($"url_hash_hi", $"url_hash_lo").count()
-      .filter($"count" > 1).count()
+    val refetched = check(2, $"n")(pages.groupBy($"url").count()
+      .filter($"count" > 1).agg(count(lit(1)).as("n")))
+    val notInSeen = check(3, $"n")(pages.select($"url")
+      .except(seen.select($"url")).agg(count(lit(1)).as("n")))
+    val dupSeen = check(4, $"n")(seen.groupBy($"url_hash_hi", $"url_hash_lo")
+      .count().filter($"count" > 1).agg(count(lit(1)).as("n")))
     // W4: consecutive fetches of one host within a round are spaced by
     // exactly that host's crawl delay (UDF: rules come from the pinned
     // RFC 9309 parser, same justification as the gate forms)
     val delayOf = udf((h: String) => graft.core.SyntheticWeb.robotsFor(h).crawlDelayMs)
-    val badGaps = pages
+    val badGaps = check(5, $"n")(pages
       .withColumn("prev", lag($"fetch_ts", 1).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy($"round", $"host").orderBy($"fetch_ts")))
       .filter($"prev".isNotNull && ($"fetch_ts" - $"prev") =!= delayOf($"host"))
-      .count()
-    pages.unpersist(blocking = false)
+      .agg(count(lit(1)).as("n")))
+    val violations: Map[Int, Long] =
+      (manifestChecks ++ Seq(refetched, notInSeen, dupSeen, badGaps))
+        .reduce(_ unionByName _)
+        .groupBy($"check_idx").agg(sum($"v").as("n_violations"))
+        .as[(Int, Long)].collect().toMap
     Seq(
-      (0, "manifest_frontier_size_matches_actual", manifestBad.map(_._1).sum),
-      (1, "manifest_seen_size_matches_actual", manifestBad.map(_._2).sum),
-      (2, "no_url_fetched_twice", refetched),
-      (3, "fetched_urls_all_in_seen", notInSeen),
-      (4, "seen_distinct_on_128bit_key", dupSeen),
-      (5, "politeness_spacing_exact", badGaps))
+      (0, "manifest_frontier_size_matches_actual"),
+      (1, "manifest_seen_size_matches_actual"),
+      (2, "no_url_fetched_twice"),
+      (3, "fetched_urls_all_in_seen"),
+      (4, "seen_distinct_on_128bit_key"),
+      (5, "politeness_spacing_exact"))
+      .map { case (i, name) => (i, name, violations.getOrElse(i, 0L)) }
       .toDF("check_idx", "invariant", "n_violations")
   }
 

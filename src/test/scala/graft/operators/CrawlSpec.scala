@@ -237,6 +237,37 @@ class CrawlSpec extends AnyFunSuite {
       rep.map(r => s"${r.get(1)}=${r.get(2)}").mkString(", "))
   }
 
+  test("invariant report runs as ONE action at any snapshot count") {
+    // r06: the per-snapshot manifest cross-check used to run 2 driver-side
+    // count() actions per committed snapshot (O(rounds) serial actions at a
+    // long-horizon store); all six checks now aggregate as branches of one
+    // union plan behind a single collect. Lock the SQL-execution count so
+    // the O(rounds) loop cannot silently return. (Job count is not the lock:
+    // with AQE on, one action legitimately materializes one job per shuffle
+    // stage — those schedule concurrently inside the one execution.)
+    val st = store // force the lazy golden-crawl fixture BEFORE counting
+    st.head
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execs.incrementAndGet()
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Crawler.invariantReport(spark, st)
+      // the listener bus is async: wait for the first event, then a settle
+      // window to catch any unexpected extra executions
+      val deadline = System.nanoTime() + 5000000000L
+      while (execs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(execs.get() === 1, s"expected 1 SQL execution, saw ${execs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("seen-join forms: scan (default) and shuffle produce the identical crawl") {
     // the shared golden `store` runs the default scan form; the shuffle form
     // (plain left-anti) must yield the same crawl bit-for-bit — the join

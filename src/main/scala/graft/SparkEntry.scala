@@ -35,18 +35,40 @@ object SparkEntry {
     * `graft.Verify` / bench loop accumulated another /tmp shard tree.
     * A fixed path makes repeated runs overwrite-in-place — /tmp stays flat.
     * (Queries run serially per JVM — Verify's loop, the driver — so the
-    * fixed name cannot race itself.) */
-  private def scratchDir(name: String): String = synchronized {
-    val p = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-scratch", name)
-    def rm(q: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(q)) {
-        val s = java.nio.file.Files.list(q)
-        try s.forEach(rm) finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(q)
+    * fixed name cannot race itself.)
+    *
+    * Scoped per PROCESS (r06, advisor finding): two concurrent JVMs (e.g.
+    * graft.Verify while the test suite is up) would wipe each other's
+    * in-flight scratch under a shared fixed path — the synchronized block
+    * only serializes within one JVM. Each JVM writes under its own pid dir;
+    * dirs of dead pids are swept once per JVM, so /tmp still stays flat. */
+  private def rmTree(q: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(q)) {
+      val s = java.nio.file.Files.list(q)
+      try s.forEach(rmTree) finally s.close()
     }
-    rm(p)
+    java.nio.file.Files.deleteIfExists(q)
+  }
+  @volatile private var sweptStaleScratch = false
+  private def scratchDir(name: String): String = synchronized {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-scratch")
+    if (!sweptStaleScratch) {
+      sweptStaleScratch = true
+      if (java.nio.file.Files.isDirectory(root)) {
+        val s = java.nio.file.Files.list(root)
+        try s.forEach { d =>
+          val nm = d.getFileName.toString
+          val dead = nm.forall(_.isDigit) &&
+            scala.util.Try(ProcessHandle.of(nm.toLong)
+              .map[Boolean](_.isAlive).orElse(false)).getOrElse(false) == false
+          // also sweep pre-r06 non-pid dirs left by older layouts
+          if (dead || !nm.forall(_.isDigit)) rmTree(d)
+        } finally s.close()
+      }
+    }
+    val p = root.resolve(ProcessHandle.current().pid().toString).resolve(name)
+    rmTree(p)
     java.nio.file.Files.createDirectories(p.getParent)
     p.toString
   }

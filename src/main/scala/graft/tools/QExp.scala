@@ -143,6 +143,19 @@ object QExp {
         println(f().queryExecution.executedPlan.toString)
       }
     }
+    // COLD mode: time exactly ONE named variant ONCE in this fresh JVM
+    // (first-run/JIT cost included — the judged bench's per-query shape) and
+    // exit. The equality check below would warm every variant, so it is
+    // skipped; run the normal mode once beforehand to establish equality.
+    sys.env.get("SPARK_GRAFT_QEXP_COLD").foreach { want =>
+      val (n, f) = variants.find(_._1 == want)
+        .getOrElse(sys.error(s"unknown cold variant: $want"))
+      val t0 = System.nanoTime()
+      f().count()
+      println(f"[qexp] COLD $n wall=${(System.nanoTime() - t0) / 1e9}%.3f")
+      spark.stop()
+      return
+    }
     // equality check first (rows + content hash), then interleaved timing
     variants.groupBy(_._1.takeWhile(_ != '_')).foreach { case (g, vs) =>
       val sigs = vs.map { case (n, f) =>

@@ -128,11 +128,50 @@ object QExp {
         .na.fill(Map("n_candidates" -> 0L, "best_match" -> -1L,
           "best_est_jaccard" -> 0.0))
     }
+    // the r5 pair path (dedup-before-score: dropDuplicates carries both sig
+    // arrays through its exchange into a SortAggregate), inlined verbatim so
+    // the cold mode can A/B it against the committed score-first form —
+    // mh_v0/mh_v1 both resolve to the committed Dedup code now
+    def mh_r5(): DataFrame = {
+      val docs = t("documents"); val threshold = 0.5; val maxBucket = 64
+      val idx = graft.operators.Dedup.minHashIndex(docs)
+      val exploded = idx.select(col("doc_id"), col("sig"),
+        posexplode(col("bands")).as(Seq("band", "band_key")))
+      val buckets = exploded
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("band"), col("band_key")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= maxBucket)
+      val a = buckets.select(col("band"), col("band_key"),
+        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val b = buckets.select(col("band"), col("band_key"),
+        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      val pairs = a.join(b, Seq("band", "band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          org.apache.spark.sql.graftexpr.SigAgree(col("sig_a"), col("sig_b"))
+            .as("est_jaccard"))
+        .filter(col("est_jaccard") >= threshold)
+      val sym = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("other"),
+          col("est_jaccard"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"),
+          col("doc_a").as("other"), col("est_jaccard")))
+      val best = sym.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_candidates"),
+        max(struct(col("est_jaccard"), col("other"))).as("best"))
+        .select(col("doc_id"), col("n_candidates"),
+          col("best.other").as("best_match"),
+          col("best.est_jaccard").as("best_est_jaccard"))
+      docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+        .na.fill(Map("n_candidates" -> 0L, "best_match" -> -1L,
+          "best_est_jaccard" -> 0.0))
+    }
     val variants: Seq[(String, () => DataFrame)] = {
       val all = Map[String, Seq[(String, () => DataFrame)]](
         "wr" -> Seq("wr_v0" -> (() => wr_v0()), "wr_v1" -> (() => wr_v1())),
         "lsh" -> Seq("lsh_v0" -> (() => lsh_v0()), "lsh_v1" -> (() => lsh_v1())),
-        "mh" -> Seq("mh_v0" -> (() => mh_v0()), "mh_v1" -> (() => mh_v1())))
+        "mh" -> Seq("mh_v0" -> (() => mh_v0()), "mh_v1" -> (() => mh_v1())),
+        "mhold" -> Seq("mh_r5" -> (() => mh_r5()), "mh_new" -> (() => mh_v0())))
       val which = if (args.length > 1) args.drop(1).toSeq else all.keys.toSeq
       which.flatMap(all)
     }

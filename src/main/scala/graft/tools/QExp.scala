@@ -88,6 +88,32 @@ object QExp {
         .filter(col("rank") <= k)
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
     }
+    // the r5 lshTopK form (UDF probes + payload-carrying dropDuplicates +
+    // second window exchange), inlined verbatim for the cold A/B — lsh_v0
+    // resolves to the committed code now
+    def lsh_r5(): DataFrame = {
+      val emb = t("embeddings")
+      val corpus = emb; val queries = emb.filter(col("vec_id") < 10)
+      val nBits = 8; val nTables = 8; val dim = 64; val k = 5
+      val c = graft.operators.Similarity.withLshSignatures(corpus, nBits, nTables, dim)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+          col("table"), col("sig"))
+      val probes = udf { (sig: Int) => (0 until nBits).map(b => sig ^ (1 << b)) :+ sig }
+      val q = graft.operators.Similarity.withLshSignatures(queries, nBits, nTables, dim)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("table"), explode(probes(col("sig"))).as("sig"))
+      val cand = c.join(broadcast(q), Seq("table", "sig"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
+        .dropDuplicates("query_id", "neighbor_id")
+      val scored = cand.withColumn("cosine",
+        graft.operators.Similarity.cosine(col("q_emb"), col("c_emb")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    }
     def mh_v0(): DataFrame =
       graft.operators.Dedup.minHashReport(t("documents"))
     // score-first pair dedup: SigAgree in the join projection (pure function
@@ -171,7 +197,8 @@ object QExp {
         "wr" -> Seq("wr_v0" -> (() => wr_v0()), "wr_v1" -> (() => wr_v1())),
         "lsh" -> Seq("lsh_v0" -> (() => lsh_v0()), "lsh_v1" -> (() => lsh_v1())),
         "mh" -> Seq("mh_v0" -> (() => mh_v0()), "mh_v1" -> (() => mh_v1())),
-        "mhold" -> Seq("mh_r5" -> (() => mh_r5()), "mh_new" -> (() => mh_v0())))
+        "mhold" -> Seq("mh_r5" -> (() => mh_r5()), "mh_new" -> (() => mh_v0())),
+        "lshold" -> Seq("lsh_r5" -> (() => lsh_r5()), "lsh_new" -> (() => lsh_v0())))
       val which = if (args.length > 1) args.drop(1).toSeq else all.keys.toSeq
       which.flatMap(all)
     }
